@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Closed-loop Aliengo trot in MuJoCo 3 — the full-order behavioral oracle.
+
+TPU-native equivalent of the reference's primary entry point
+(ref ``scripts/mujoco_aliengo.py:157-240``), headless, driven by either:
+
+- ``--controller oracle``  the float64 numpy golden controller, or
+- ``--controller jax``     the float32 JAX engine (jitted, CPU or TPU).
+
+It reproduces the reference setup: MJCF model, nominal stance reset
+(q = (0, 0.8, -1.6) x 4 at the desired height, ref :32-39), ground-truth
+state feed (ref :59-99), TROTTING10 at v_x = 1.2 m/s (ref :176-180).
+
+Also used by ``tests/test_mujoco_e2e.py`` (shorter run) and to record golden
+observation/GRF traces (``--record trace.npz``) for lockstep replays.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import mujoco
+import numpy as np
+
+ALIENGO_XML = "/root/reference/robot/aliengo/aliengo.xml"
+
+
+def reset_nominal(model, data, height):
+    mujoco.mj_resetData(model, data)
+    data.qpos[:3] = [0.0, 0.0, height]
+    data.qpos[3:7] = [1.0, 0.0, 0.0, 0.0]
+    data.qpos[7:] = np.tile([0.0, 0.8, -1.6], 4)
+    data.qvel[:] = 0.0
+    mujoco.mj_forward(model, data)
+
+
+def read_obs(model, data):
+    """Ground-truth observation, matching the reference's feed (ref :59-99):
+    world base pos/vel, sensor quaternion, body-frame gyro, joint pos/vel."""
+    trunk = model.body("trunk").id
+    vel6 = np.zeros(6)
+    mujoco.mj_objectVelocity(model, data, mujoco.mjtObj.mjOBJ_BODY, trunk, vel6, 0)
+    return {
+        "pos": data.xpos[trunk].copy(),
+        "vel": vel6[3:6].copy(),
+        "quat": data.sensordata[0:4].copy(),
+        "omega": data.sensordata[4:7].copy(),
+        "q": data.sensordata[10:22].copy(),
+        "qdot": data.sensordata[22:34].copy(),
+    }
+
+
+def make_oracle_controller(horizon):
+    from pympc_quadruped_tpu.oracle import npref
+
+    ctrl = npref.OracleController(
+        npref.oracle_aliengo(),
+        npref.OracleConfig(horizon=horizon),
+        npref.OracleGait.trotting10(),
+    )
+
+    def step(obs, tick):
+        out = ctrl.step(obs, [1.2, 0.0, 0.0], 0.0, tick)
+        return out["torques"], out["forces"]
+
+    return step
+
+
+def make_jax_controller(horizon):
+    import jax
+    import jax.numpy as jnp
+    from pympc_quadruped_tpu.models.command import Command
+    from pympc_quadruped_tpu.models.gaits import Gaits
+    from pympc_quadruped_tpu.models.mpc import MpcParams
+    from pympc_quadruped_tpu.models.robots import aliengo
+    from pympc_quadruped_tpu.control import controller as ctl
+    from pympc_quadruped_tpu.ops import kin
+
+    mpc = MpcParams(horizon=horizon)
+    tile = lambda t: jax.tree.map(lambda x: jnp.asarray(x)[None], t)
+    robot, gait, cmd = tile(aliengo()), tile(Gaits.trotting10()), tile(
+        Command.trot_forward(1.2)
+    )
+    carry = tile(ctl.init_carry())
+    step_fn = jax.jit(
+        lambda c, o, t: ctl.step_batch(robot, mpc, gait, cmd, c, o, t)
+    )
+    state = {"carry": carry}
+
+    def step(obs, tick):
+        o = kin.RobotObs(
+            pos_base=jnp.asarray(obs["pos"], jnp.float32)[None],
+            lin_vel_base=jnp.asarray(obs["vel"], jnp.float32)[None],
+            quat_base=jnp.asarray(obs["quat"], jnp.float32)[None],
+            ang_vel_base=jnp.asarray(obs["omega"], jnp.float32)[None],
+            q=jnp.asarray(obs["q"], jnp.float32)[None],
+            qdot=jnp.asarray(obs["qdot"], jnp.float32)[None],
+        )
+        state["carry"], out = step_fn(state["carry"], o, jnp.int32(tick))
+        return np.asarray(out.torques[0]), np.asarray(out.contact_forces[0])
+
+    return step
+
+
+def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True):
+    model = mujoco.MjModel.from_xml_path(ALIENGO_XML)
+    data = mujoco.MjData(model)
+    reset_nominal(model, data, 0.38)
+    mujoco.mj_step(model, data)  # settle one step, like the reference (ref :167)
+
+    step_fn = (
+        make_oracle_controller(horizon)
+        if controller == "oracle"
+        else make_jax_controller(horizon)
+    )
+
+    n_ticks = int(seconds * 1000)
+    log = {"t": [], "pos": [], "vel": [], "obs": [], "forces": [], "torques": []}
+    t_start = time.time()
+    for tick in range(n_ticks):
+        obs = read_obs(model, data)
+        torques, forces = step_fn(obs, tick)
+        data.ctrl[:] = torques
+        mujoco.mj_step(model, data)
+
+        if record is not None:
+            log["obs"].append(obs)
+            log["forces"].append(forces.copy())
+            log["torques"].append(np.asarray(torques).copy())
+        if tick % 1000 == 0 and verbose:
+            print(
+                f"t={tick/1000:.1f}s pos=({data.qpos[0]:+.2f},{data.qpos[1]:+.2f},"
+                f"{data.qpos[2]:.3f}) vx={obs['vel'][0]:+.2f}"
+            )
+        log["t"].append(tick / 1000)
+        log["pos"].append(data.qpos[:3].copy())
+        log["vel"].append(obs["vel"].copy())
+        if data.qpos[2] < 0.12:
+            if verbose:
+                print(f"FELL at t={tick/1000:.2f}s")
+            break
+
+    wall = time.time() - t_start
+    pos = np.array(log["pos"])
+    vel = np.array(log["vel"])
+    n = len(pos)
+    result = {
+        "completed": n == n_ticks,
+        "final_x": float(pos[-1, 0]),
+        "mean_vx_last_2s": float(vel[-2000:, 0].mean()) if n > 2000 else float(vel[:, 0].mean()),
+        "mean_height_last_2s": float(pos[-2000:, 2].mean()) if n > 2000 else float(pos[:, 2].mean()),
+        "wall_s": wall,
+        "sim_s": n / 1000.0,
+    }
+    if verbose:
+        print(result)
+    if record is not None and n > 0:
+        obs_arr = {
+            k: np.stack([o[k] for o in log["obs"]]) for k in log["obs"][0]
+        }
+        np.savez_compressed(
+            record,
+            forces=np.stack(log["forces"]),
+            torques=np.stack(log["torques"]),
+            **{f"obs_{k}": v for k, v in obs_arr.items()},
+        )
+        if verbose:
+            print(f"recorded {n} ticks -> {record}")
+    return result
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--controller", choices=["oracle", "jax"], default="oracle")
+    ap.add_argument("--seconds", type=float, default=5.0)
+    ap.add_argument("--horizon", type=int, default=10)
+    ap.add_argument("--record", default=None)
+    args = ap.parse_args()
+    run(args.controller, args.seconds, args.horizon, args.record)

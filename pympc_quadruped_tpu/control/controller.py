@@ -1,0 +1,190 @@
+"""The full 1 kHz control tick, composed bottom-up and batch-first.
+
+Data flow per tick (mirrors the reference app loop,
+ref ``scripts/mujoco_aliengo.py:184-229``):
+
+    obs -> kinematics -> gait phase -> [every Nth tick: MPC solve -> GRFs]
+        -> swing-foot targets -> Jacobian-transpose torques
+
+Design notes (TPU-first):
+
+- all controller state lives in an explicit ``ControllerCarry`` pytree;
+  ``step`` is pure and jittable, so a scenario sweep is ``vmap(step)``;
+- the 50 Hz solve gating is a *scalar* ``lax.cond`` on the shared tick
+  counter, applied **outside** the scenario ``vmap`` in :func:`step_batch`.
+  Under ``vmap`` a ``cond`` lowers to a ``select`` that executes both
+  branches for every element — gating at the batch level instead means the
+  expensive condense+solve really only runs on solve ticks;
+- scenarios in one batch share the tick phase (they start synchronized),
+  which is exactly the reference's semantics for its multi-robot loop
+  (ref ``scripts/isaacgym_a1.py:119-164`` — same iteration counter for all
+  robots, minus the per-robot host round-trips).
+"""
+from __future__ import annotations
+
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pympc_quadruped_tpu.models.command import Command
+from pympc_quadruped_tpu.models.gaits import GaitParams
+from pympc_quadruped_tpu.models.mpc import MpcParams
+from pympc_quadruped_tpu.models.robots import RobotParams
+from pympc_quadruped_tpu.control import legctrl, refmpc, swing
+from pympc_quadruped_tpu.ops import gaitsched, kin
+from pympc_quadruped_tpu.ops.qp import admm, cones, ipm
+
+
+@struct.dataclass
+class ControllerCarry:
+    mpc: refmpc.MpcCarry
+    swing: swing.SwingCarry
+
+
+@struct.dataclass
+class ControllerOutput:
+    torques: jnp.ndarray        # (12,)
+    contact_forces: jnp.ndarray # (12,) world-frame GRFs currently held
+    swing_states: jnp.ndarray   # (4,)
+    pos_targets: jnp.ndarray    # (4,3) swing-foot targets rel. base, base frame
+    vel_targets: jnp.ndarray    # (4,3)
+    kin: kin.KinState
+
+
+def init_carry() -> ControllerCarry:
+    return ControllerCarry(mpc=refmpc.MpcCarry.init(), swing=swing.SwingCarry.init())
+
+
+def _pre_solve(robot, mpc, gait, cmd, carry, obs, tick):
+    """Everything before the solve decision; shared by both branches."""
+    ks = kin.compute_kin_state(robot, obs)
+    swing_states = gaitsched.swing_state(gait, mpc, tick)
+    table = gaitsched.gait_table(gait, mpc, tick)
+    x_t = jnp.concatenate(
+        [
+            ks.rpy_base,
+            ks.pos_base,
+            ks.ang_vel_base,
+            ks.lin_vel_base,
+            jnp.reshape(-mpc.gravity, (1,)),
+        ]
+    ).astype(jnp.float32)
+    mpc_carry, vel_des_world = refmpc.integrate_desired(carry.mpc, ks, cmd, mpc)
+    return ks, swing_states, table, x_t, mpc_carry, vel_des_world
+
+
+def _solve_branch(robot, mpc, cmd, mpc_carry, ks, x_t, vel_des_world, table, solver_cfg):
+    """Reference trajectory + batched QP solve; returns (carry', forces).
+
+    All leading axes here are the scenario batch (this function is called on
+    already-vmapped operands inside ``step_batch``).
+    """
+    solver, ipm_cfg, admm_cfg = solver_cfg
+    mpc_carry, X = jax.vmap(
+        lambda c, x, v, cm, r: refmpc.reference_trajectory(c, x, v, cm, mpc, r)
+    )(mpc_carry, x_t, vel_des_world, cmd, robot)
+
+    yaw = x_t[:, 2]
+    H, g, mv = jax.vmap(
+        lambda r, x, y, p, Xr, t: refmpc.build_qp(r, mpc, x, y, p, Xr, t)
+    )(robot, x_t, yaw, ks.pos_base_feet, X, table)
+
+    if solver == "ipm":
+        G, h_vec, _ = jax.vmap(
+            lambda t, r: cones.block_constraints(t, r.fz_max, mpc)
+        )(table, robot)
+        U = ipm.solve_batch(H, g, G, h_vec, ipm_cfg)
+    else:
+        A, l, u = jax.vmap(
+            lambda t, r: admm.admm_constraints(t, r.fz_max, mpc)
+        )(table, robot)
+        U = admm.solve_batch(H, g, A, l, u, admm_cfg)
+
+    forces = (U * mv)[:, :12]
+    return mpc_carry.replace(contact_forces=forces), forces
+
+
+def _post_solve(robot, mpc, gait, cmd, carry_swing, ks, swing_states, forces):
+    swing_carry, pos_t, vel_t = swing.update_swing(
+        robot, mpc, gait, cmd, ks, carry_swing, swing_states
+    )
+    torques = legctrl.leg_torques(robot, ks, forces, swing_states, pos_t, vel_t)
+    return swing_carry, torques, pos_t, vel_t
+
+
+def step_batch(
+    robot: RobotParams,
+    mpc: MpcParams,
+    gait: GaitParams,
+    cmd: Command,
+    carry: ControllerCarry,
+    obs: kin.RobotObs,
+    tick: jnp.ndarray,
+    solver: Literal["ipm", "admm"] = "ipm",
+    ipm_cfg: ipm.IpmConfig = ipm.IpmConfig(),
+    admm_cfg: admm.AdmmConfig = admm.AdmmConfig(),
+):
+    """Batched tick: every pytree argument except ``mpc`` and ``tick`` carries a
+    leading scenario axis (``robot``, ``gait`` and ``cmd`` included — they are
+    randomization axes).  ``tick`` is the shared scalar tick counter.
+
+    Returns (carry', ControllerOutput) with batch leading axes.
+    """
+    solver_cfg = (solver, ipm_cfg, admm_cfg)
+
+    ks, swing_states, table, x_t, mpc_carry, vel_des_world = jax.vmap(
+        lambda r, gt, cm, c, o: _pre_solve(r, mpc, gt, cm, c, o, tick)
+    )(robot, gait, cmd, carry, obs)
+
+    def do_solve(opnds):
+        mpc_carry, ks_, x_t_, vel_, table_ = opnds
+        return _solve_branch(
+            robot, mpc, cmd, mpc_carry, ks_, x_t_, vel_, table_, solver_cfg
+        )
+
+    def hold(opnds):
+        mpc_carry, *_ = opnds
+        return mpc_carry, mpc_carry.contact_forces
+
+    mpc_carry, forces = jax.lax.cond(
+        tick % mpc.iterations_between_mpc == 0,
+        do_solve,
+        hold,
+        (mpc_carry, ks, x_t, vel_des_world, table),
+    )
+
+    swing_carry, torques, pos_t, vel_t = jax.vmap(
+        lambda r, gt, cm, sc, k, ss, f: _post_solve(r, mpc, gt, cm, sc, k, ss, f)
+    )(robot, gait, cmd, carry.swing, ks, swing_states, forces)
+
+    out = ControllerOutput(
+        torques=torques,
+        contact_forces=forces,
+        swing_states=swing_states,
+        pos_targets=pos_t,
+        vel_targets=vel_t,
+        kin=ks,
+    )
+    return ControllerCarry(mpc=mpc_carry, swing=swing_carry), out
+
+
+def step(
+    robot: RobotParams,
+    mpc: MpcParams,
+    gait: GaitParams,
+    cmd: Command,
+    carry: ControllerCarry,
+    obs: kin.RobotObs,
+    tick: jnp.ndarray,
+    solver: Literal["ipm", "admm"] = "ipm",
+):
+    """Single-scenario tick (batch size 1 under the hood)."""
+    batched = jax.tree.map(lambda x: jnp.asarray(x)[None], (robot, gait, cmd, carry, obs))
+    robot_b, gait_b, cmd_b, carry_b, obs_b = batched
+    carry_b, out_b = step_batch(
+        robot_b, mpc, gait_b, cmd_b, carry_b, obs_b, tick, solver=solver
+    )
+    unb = jax.tree.map(lambda x: x[0], (carry_b, out_b))
+    return unb

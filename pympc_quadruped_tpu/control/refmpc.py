@@ -1,0 +1,184 @@
+"""Reference-trajectory generation + the condensed-QP MPC update.
+
+TPU-native re-design of the reference's ``ModelPredictiveController``
+(ref ``linear_mpc/mpc.py:22-290``): the mutable controller object becomes an
+explicit carry pytree threaded through a pure update function, and the solve
+is a batched condense + fixed-iteration solver call.
+
+Reproduced reference semantics, in order:
+
+- desired velocity rotated to world by the full base rotation, not just yaw
+  (ref :83);
+- first-run latch zeroes the desired x/y and snaps desired yaw to the
+  measured yaw (ref :84-92); afterwards desired x/y integrate the command at
+  every control tick while desired yaw tracks ``yaw + dt_control*yaw_rate``;
+- on solve ticks only: desired x/y clamped to +-0.1 m of the measurement and
+  written back (ref :121-140); roll/pitch compensation integrators advance
+  with dt_predict and velocity guards 0.2/0.1, saturated at +-0.25
+  (ref :143-152);
+- X_ref rows: constant roll/pitch compensation, height, yaw rate, velocity
+  and gravity rows; integrated yaw/x/y rows with dt_predict (ref :154-168);
+- x[12] = -g and the prediction uses dt_predict = 0.05 (ref :38,:76);
+- only u_0 (12 GRFs) of the horizon solution is kept, zero-order-held for
+  ``iterations_between_mpc`` ticks (ref :99,:108).
+"""
+from __future__ import annotations
+
+from typing import Literal
+
+import jax.numpy as jnp
+from flax import struct
+
+from pympc_quadruped_tpu.models.command import Command
+from pympc_quadruped_tpu.models.mpc import NUM_STATE, MpcParams
+from pympc_quadruped_tpu.models.robots import RobotParams
+from pympc_quadruped_tpu.ops import condense, srb
+from pympc_quadruped_tpu.ops.kin import KinState
+from pympc_quadruped_tpu.ops.qp import admm, cones, ipm
+
+
+@struct.dataclass
+class MpcCarry:
+    contact_forces: jnp.ndarray  # (12,) currently-held GRFs
+    xpos_des: jnp.ndarray
+    ypos_des: jnp.ndarray
+    yaw_des: jnp.ndarray
+    roll_comp_int: jnp.ndarray   # the reference's roll_init integrator
+    pitch_comp_int: jnp.ndarray  # the reference's pitch_init integrator
+    first_run: jnp.ndarray       # bool
+
+    @staticmethod
+    def init() -> "MpcCarry":
+        z = jnp.float32(0.0)
+        return MpcCarry(
+            contact_forces=jnp.zeros((12,), jnp.float32),
+            xpos_des=z,
+            ypos_des=z,
+            yaw_des=z,
+            roll_comp_int=z,
+            pitch_comp_int=z,
+            first_run=jnp.array(True),
+        )
+
+
+def integrate_desired(carry: MpcCarry, kin: KinState, cmd: Command, mpc: MpcParams):
+    """Every-tick desired-state integration (ref mpc.py:83-92)."""
+    vel_des_world = kin.R_base @ cmd.vel_base_des
+    yaw = kin.rpy_base[2]
+    first = carry.first_run
+    xpos = jnp.where(first, 0.0, carry.xpos_des + mpc.dt_control * vel_des_world[0])
+    ypos = jnp.where(first, 0.0, carry.ypos_des + mpc.dt_control * vel_des_world[1])
+    yaw_des = jnp.where(first, yaw, yaw + mpc.dt_control * cmd.yaw_turn_rate)
+    return (
+        carry.replace(
+            xpos_des=xpos, ypos_des=ypos, yaw_des=yaw_des, first_run=jnp.array(False)
+        ),
+        vel_des_world,
+    )
+
+
+def reference_trajectory(
+    carry: MpcCarry,
+    x_t: jnp.ndarray,
+    vel_des_world: jnp.ndarray,
+    cmd: Command,
+    mpc: MpcParams,
+    robot: RobotParams,
+):
+    """Solve-tick X_ref build; also returns the updated carry (ref :110-170)."""
+    h = mpc.horizon
+    dt = mpc.dt_predict
+
+    xpos = jnp.clip(
+        carry.xpos_des, x_t[3] - mpc.max_pos_error, x_t[3] + mpc.max_pos_error
+    )
+    ypos = jnp.clip(
+        carry.ypos_des, x_t[4] - mpc.max_pos_error, x_t[4] + mpc.max_pos_error
+    )
+
+    vx, vy = x_t[9], x_t[10]
+    pitch_int = jnp.where(
+        jnp.abs(vx) > 0.2,
+        carry.pitch_comp_int + dt * (0.0 - x_t[1]) / vx,
+        carry.pitch_comp_int,
+    )
+    roll_int = jnp.where(
+        jnp.abs(vy) > 0.1,
+        carry.roll_comp_int + dt * (0.0 - x_t[0]) / vy,
+        carry.roll_comp_int,
+    )
+    sat = mpc.comp_saturation
+    pitch_int = jnp.clip(pitch_int, -sat, sat)
+    roll_int = jnp.clip(roll_int, -sat, sat)
+    roll_comp = vy * roll_int
+    pitch_comp = vx * pitch_int
+
+    steps = jnp.arange(h, dtype=jnp.float32)
+    X = jnp.zeros((h, NUM_STATE), jnp.float32)
+    X = X.at[:, 0].set(roll_comp)
+    X = X.at[:, 1].set(pitch_comp)
+    X = X.at[:, 2].set(carry.yaw_des + dt * cmd.yaw_turn_rate * steps)
+    X = X.at[:, 3].set(xpos + dt * vel_des_world[0] * steps)
+    X = X.at[:, 4].set(ypos + dt * vel_des_world[1] * steps)
+    X = X.at[:, 5].set(robot.base_height_des)
+    X = X.at[:, 8].set(cmd.yaw_turn_rate)
+    X = X.at[:, 9].set(vel_des_world[0])
+    X = X.at[:, 10].set(vel_des_world[1])
+    X = X.at[:, 12].set(-mpc.gravity)
+
+    new_carry = carry.replace(
+        xpos_des=xpos,
+        ypos_des=ypos,
+        roll_comp_int=roll_int,
+        pitch_comp_int=pitch_int,
+    )
+    return new_carry, X
+
+
+def build_qp(
+    robot: RobotParams,
+    mpc: MpcParams,
+    x_t: jnp.ndarray,
+    yaw: jnp.ndarray,
+    pos_base_feet: jnp.ndarray,
+    X_ref: jnp.ndarray,
+    gait_table: jnp.ndarray,
+):
+    """(Ac,Bc) -> (Ad,Bd) -> condensed (H, g) with swing-leg masking applied.
+
+    Returns (H, g, mv) where mv is the (12h,) stance variable mask.
+    """
+    Ac, Bc = srb.state_space(robot, yaw, pos_base_feet)
+    Ad, Bd = srb.discretize(Ac, Bc, mpc.dt_predict)
+    H, g = condense.condense(Ad, Bd, x_t, X_ref.reshape(-1), mpc)
+    mv = cones.variable_mask(gait_table, mpc)
+    H, g = cones.mask_cost(H, g, mv)
+    return H, g, mv
+
+
+def solve_mpc(
+    robot: RobotParams,
+    mpc: MpcParams,
+    x_t: jnp.ndarray,
+    yaw: jnp.ndarray,
+    pos_base_feet: jnp.ndarray,
+    X_ref: jnp.ndarray,
+    gait_table: jnp.ndarray,
+    solver: Literal["ipm", "admm"] = "ipm",
+    ipm_cfg: ipm.IpmConfig = ipm.IpmConfig(),
+    admm_cfg: admm.AdmmConfig = admm.AdmmConfig(),
+) -> jnp.ndarray:
+    """Single-scenario condensed solve -> (12,) first-step GRFs.
+
+    For batched solving use the batch entry points in ``engine.py`` — this
+    wrapper adds the batch axis and strips it again.
+    """
+    H, g, mv = build_qp(robot, mpc, x_t, yaw, pos_base_feet, X_ref, gait_table)
+    if solver == "ipm":
+        G, h_vec, _ = cones.block_constraints(gait_table, robot.fz_max, mpc)
+        U = ipm.solve_batch(H[None], g[None], G[None], h_vec[None], ipm_cfg)[0]
+    else:
+        A, l, u = admm.admm_constraints(gait_table, robot.fz_max, mpc)
+        U = admm.solve_batch(H[None], g[None], A[None], l[None], u[None], admm_cfg)[0]
+    U = U * mv  # exact zeros on swing legs
+    return U[:12]

@@ -1,0 +1,68 @@
+"""Batched MPC engine facade — the north-star kernel surface.
+
+``solve_scenarios`` is the benchmark unit: a scenario batch of SRB states,
+footholds, references and gait tables in, first-step GRFs out, everything
+fused into one XLA program (state-space build -> exact ZOH -> gather-based
+condensing -> fixed-iteration QP), designed to be wrapped in ``jit`` /
+``shard_map`` and scaled over the `('data',)` mesh axis.
+
+This is the TPU answer to the reference's per-robot sequential solve loop
+(ref ``scripts/isaacgym_a1.py:119-164``): thousands of scenarios advance in
+lockstep with zero host round-trips.
+"""
+from __future__ import annotations
+
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+from pympc_quadruped_tpu.models.mpc import MpcParams
+from pympc_quadruped_tpu.models.robots import RobotParams
+from pympc_quadruped_tpu.control import refmpc
+from pympc_quadruped_tpu.ops.qp import admm, cones, ipm
+
+
+def solve_scenarios(
+    robot: RobotParams,
+    mpc: MpcParams,
+    x_t: jnp.ndarray,          # (B,13)
+    yaw: jnp.ndarray,          # (B,)
+    pos_base_feet: jnp.ndarray,  # (B,4,3)
+    X_ref: jnp.ndarray,        # (B,h,13) or (B,13h)
+    gait_table: jnp.ndarray,   # (B,4h)
+    solver: Literal["ipm", "admm"] = "ipm",
+    ipm_cfg: ipm.IpmConfig = ipm.IpmConfig(),
+    admm_cfg: admm.AdmmConfig = admm.AdmmConfig(),
+    return_full_horizon: bool = False,
+) -> jnp.ndarray:
+    """Batched condensed-QP MPC solve.
+
+    ``robot`` may be unbatched (shared) or carry a leading batch axis
+    (randomization sweep); batched-ness is detected from ``mass``'s ndim.
+
+    Returns (B,12) first-step GRFs (or (B,12h) with ``return_full_horizon``).
+    """
+    B = x_t.shape[0]
+    if jnp.ndim(robot.mass) == 0:
+        robot = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + jnp.shape(a)), robot)
+
+    X_ref = X_ref.reshape(B, -1)
+
+    H, g, mv = jax.vmap(
+        lambda r, x, y, p, Xr, t: refmpc.build_qp(r, mpc, x, y, p, Xr, t)
+    )(robot, x_t, yaw, pos_base_feet, X_ref, gait_table)
+
+    if solver == "ipm":
+        G, h_vec, _ = jax.vmap(
+            lambda t, r: cones.block_constraints(t, r.fz_max, mpc)
+        )(gait_table, robot)
+        U = ipm.solve_batch(H, g, G, h_vec, ipm_cfg)
+    else:
+        A, l, u = jax.vmap(
+            lambda t, r: admm.admm_constraints(t, r.fz_max, mpc)
+        )(gait_table, robot)
+        U = admm.solve_batch(H, g, A, l, u, admm_cfg)
+
+    U = U * mv
+    return U if return_full_horizon else U[:, :12]

@@ -1,0 +1,169 @@
+"""Batched on-device single-rigid-body rollout environment.
+
+The reference closes its loop through MuJoCo (single robot, C, host-side) or
+IsaacGym PhysX (4 robots, per-robot host round-trips every tick —
+ref ``scripts/isaacgym_a1.py:119-164``).  The TPU-native equivalent is a pure
+JAX SRB physics rollout that lives entirely on device:
+
+- the trunk is a single rigid body forced by the MPC's ground-reaction
+  forces (the exact model the MPC assumes, so closed-loop behavior isolates
+  controller correctness from contact-model error);
+- stance feet are pinned where they touched down; swing feet follow the
+  controller's swing trajectory kinematically (massless-leg assumption, the
+  same one the reference's swing PD makes, ref leg_controller.py:17-20);
+- joint measurements are synthesized by closed-form IK so the controller
+  consumes the same observation interface as with a real simulator;
+- everything vmaps over scenarios and runs under ``lax.scan`` over ticks.
+
+The MuJoCo harness in ``examples/mujoco_closed_loop.py`` is the full-order
+oracle counterpart (torque-level, CPU).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pympc_quadruped_tpu.models.command import Command
+from pympc_quadruped_tpu.models.gaits import GaitParams
+from pympc_quadruped_tpu.models.mpc import MpcParams
+from pympc_quadruped_tpu.models.robots import RobotParams
+from pympc_quadruped_tpu.control import controller as ctrl
+from pympc_quadruped_tpu.ops import gaitsched, kin, lie
+
+
+@struct.dataclass
+class SrbState:
+    """World-frame rigid-body state + foot bookkeeping (per scenario)."""
+
+    pos: jnp.ndarray        # (3,)
+    quat: jnp.ndarray       # (4,) wxyz
+    vel: jnp.ndarray        # (3,) world
+    omega_body: jnp.ndarray # (3,) body frame
+    foot_pos: jnp.ndarray   # (4,3) world; stance feet pinned here
+
+
+def default_init_state(robot: RobotParams) -> SrbState:
+    """Nominal stance matching the reference reset (ref mujoco_aliengo.py:32-39)."""
+    q0 = jnp.tile(jnp.array([0.0, 0.8, -1.6], jnp.float32), 4).reshape(4, 3)
+    p_bf, _ = kin.leg_forward_kinematics(robot, q0)
+    pos = jnp.array([0.0, 0.0, 0.0], jnp.float32).at[2].set(robot.base_height_des)
+    feet = pos[None, :] + p_bf
+    feet = feet.at[:, 2].set(0.0)
+    return SrbState(
+        pos=pos,
+        quat=jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32),
+        vel=jnp.zeros(3, jnp.float32),
+        omega_body=jnp.zeros(3, jnp.float32),
+        foot_pos=feet,
+    )
+
+
+def observe(robot: RobotParams, state: SrbState) -> kin.RobotObs:
+    """Synthesize the controller's observation from SRB state via IK."""
+    R = lie.quat_to_rotmat(state.quat)
+    p_bf = (state.foot_pos - state.pos[None, :]) @ R
+    q_legs = kin.leg_inverse_kinematics(robot, p_bf)
+    # Joint velocities: stance feet are stationary in the world, so the
+    # relative foot velocity in the base frame is -(omega x r + R^T v).
+    _, J = kin.leg_forward_kinematics(robot, q_legs)
+    v_rel = -(
+        jnp.cross(jnp.broadcast_to(state.omega_body, (4, 3)), p_bf)
+        + (R.T @ state.vel)[None, :]
+    )
+    qdot_legs = jnp.linalg.solve(J, v_rel[..., None])[..., 0]
+    return kin.RobotObs(
+        pos_base=state.pos,
+        lin_vel_base=state.vel,
+        quat_base=state.quat,
+        ang_vel_base=state.omega_body,
+        q=q_legs.reshape(12),
+        qdot=qdot_legs.reshape(12),
+    )
+
+
+def physics_step(
+    robot: RobotParams,
+    mpc: MpcParams,
+    state: SrbState,
+    forces: jnp.ndarray,       # (12,) world GRFs (stance legs)
+    swing_states: jnp.ndarray, # (4,)
+    swing_pos_world: jnp.ndarray,  # (4,3) desired world swing-foot positions
+) -> SrbState:
+    """Semi-implicit Euler at dt_control; swing feet follow their targets."""
+    dt = mpc.dt_control
+    f = forces.reshape(4, 3)
+    stance = (swing_states == 0.0)[:, None]
+    f = jnp.where(stance, f, 0.0)
+
+    total_f = f.sum(axis=0)
+    acc = total_f / robot.mass - jnp.array([0.0, 0.0, 1.0]) * mpc.gravity
+
+    R = lie.quat_to_rotmat(state.quat)
+    r_world = state.foot_pos - state.pos[None, :]
+    torque_world = jnp.cross(r_world, f).sum(axis=0)
+    I_world = R @ robot.inertia @ R.T
+    omega_world = R @ state.omega_body
+    # Euler's equation with gyroscopic term.
+    domega_world = jnp.linalg.solve(
+        I_world, torque_world - jnp.cross(omega_world, I_world @ omega_world)
+    )
+    omega_world = omega_world + dt * domega_world
+    omega_body = R.T @ omega_world
+
+    vel = state.vel + dt * acc
+    pos = state.pos + dt * vel
+    quat = lie.quat_integrate(state.quat, omega_body, dt)
+
+    # Feet: pinned in stance (clamped to ground), target-following in swing.
+    new_feet = jnp.where(stance, state.foot_pos, swing_pos_world)
+    return SrbState(
+        pos=pos, quat=quat, vel=vel, omega_body=omega_body, foot_pos=new_feet
+    )
+
+
+def rollout(
+    robot: RobotParams,
+    mpc: MpcParams,
+    gait: GaitParams,
+    cmd: Command,
+    num_ticks: int,
+    init_state: SrbState | None = None,
+    solver: str = "ipm",
+):
+    """Closed-loop batched rollout under ``lax.scan``.
+
+    Every pytree argument except ``mpc`` carries a leading scenario batch
+    axis (``robot``, ``gait``, ``cmd`` are randomization axes).  Returns
+    ``((env_state, controller_carry), metrics)`` where metrics holds per-tick
+    (B,)-shaped tracking diagnostics.
+    """
+    B = jnp.shape(robot.mass)[0]
+    if init_state is None:
+        init_state = jax.vmap(default_init_state)(robot)
+    carry0 = jax.vmap(lambda _: ctrl.init_carry())(jnp.arange(B))
+
+    def tick_fn(carry, tick):
+        env_state, c_carry = carry
+        obs = jax.vmap(observe)(robot, env_state)
+        c_carry, out = ctrl.step_batch(
+            robot, mpc, gait, cmd, c_carry, obs, tick, solver=solver
+        )
+        # World-frame swing-foot desired positions from the base-frame targets.
+        swing_pos_world = env_state.pos[:, None, :] + jnp.einsum(
+            "bij,blj->bli", out.kin.R_base, out.pos_targets
+        )
+        env_state = jax.vmap(lambda r, s, f, ss, sp: physics_step(r, mpc, s, f, ss, sp))(
+            robot, env_state, out.contact_forces, out.swing_states, swing_pos_world
+        )
+        vel_des_world = jnp.einsum("bij,bj->bi", out.kin.R_base, cmd.vel_base_des)
+        metrics = {
+            "vel_err": jnp.linalg.norm(env_state.vel - vel_des_world, axis=-1),
+            "height": env_state.pos[:, 2],
+            "upright": out.kin.R_base[:, 2, 2],
+        }
+        return (env_state, c_carry), metrics
+
+    ticks = jnp.arange(num_ticks, dtype=jnp.int32)
+    (env_state, c_carry), metrics = jax.lax.scan(tick_fn, (init_state, carry0), ticks)
+    return (env_state, c_carry), metrics

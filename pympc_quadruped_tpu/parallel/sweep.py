@@ -1,0 +1,107 @@
+"""Scenario sweep runners: batched MPC solves and closed-loop rollouts,
+sharded over the `('data',)` mesh axis.
+
+This is the production surface for BASELINE configs 3-5 (gait sweep /
+domain randomization / pod-scale command sweep): build a scenario batch,
+shard it, and run either
+
+- :func:`solve_sweep_step` — one batched condense+solve (the benchmark unit),
+- :func:`rollout_sweep`   — a full closed-loop SRB rollout with collective-
+  reduced tracking metrics.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pympc_quadruped_tpu import engine
+from pympc_quadruped_tpu.env import srb_env
+from pympc_quadruped_tpu.models.command import Command
+from pympc_quadruped_tpu.models.gaits import GaitParams
+from pympc_quadruped_tpu.models.mpc import MpcParams
+from pympc_quadruped_tpu.models.robots import RobotParams
+from pympc_quadruped_tpu.parallel import mesh as mesh_lib
+
+
+def make_scenario_batch(robot: RobotParams, gait: GaitParams, cmd: Command, batch: int):
+    """Tile single-scenario params into a batch (randomize by editing leaves)."""
+    tile = lambda tree: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + jnp.shape(x)), tree
+    )
+    return tile(robot), tile(gait), tile(cmd)
+
+
+def randomized_robots(robot: RobotParams, batch: int, key, mass_scale=0.2, inertia_scale=0.2):
+    """Domain-randomized robot batch: log-uniform mass/inertia perturbations
+    (the randomization axes of BASELINE config 4)."""
+    k1, k2 = jax.random.split(key)
+    tile = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + jnp.shape(x)), robot)
+    mass_f = jnp.exp(jax.random.uniform(k1, (batch,), minval=-mass_scale, maxval=mass_scale))
+    inertia_f = jnp.exp(
+        jax.random.uniform(k2, (batch,), minval=-inertia_scale, maxval=inertia_scale)
+    )
+    return tile.replace(
+        mass=tile.mass * mass_f,
+        inertia=tile.inertia * inertia_f[:, None, None],
+    )
+
+
+@partial(jax.jit, static_argnames=("solver",))
+def solve_sweep_step(
+    robot: RobotParams,
+    mpc: MpcParams,
+    x_t: jnp.ndarray,
+    yaw: jnp.ndarray,
+    pos_base_feet: jnp.ndarray,
+    X_ref: jnp.ndarray,
+    gait_table: jnp.ndarray,
+    solver: str = "ipm",
+):
+    """One batched MPC solve step (jitted; shard inputs with ``shard_batch``)."""
+    return engine.solve_scenarios(
+        robot, mpc, x_t, yaw, pos_base_feet, X_ref, gait_table, solver=solver
+    )
+
+
+def rollout_sweep(
+    robot_b: RobotParams,
+    mpc: MpcParams,
+    gait_b: GaitParams,
+    cmd_b: Command,
+    num_ticks: int,
+    mesh=None,
+    solver: str = "ipm",
+):
+    """Closed-loop sweep with cross-chip metric reduction.
+
+    Returns (final_states, summary) where summary holds scalar sweep metrics
+    (mean/max velocity tracking error, survival fraction) — the cross-
+    scenario reductions become ICI collectives under the sharded jit.
+    """
+    if mesh is None:
+        mesh = mesh_lib.data_mesh()
+    robot_b, gait_b, cmd_b = mesh_lib.shard_batch((robot_b, gait_b, cmd_b), mesh)
+
+    @partial(jax.jit, static_argnames=())
+    def run(robot_b, gait_b, cmd_b):
+        (env_state, carry), metrics = srb_env.rollout(
+            robot_b, mpc, gait_b, cmd_b, num_ticks, solver=solver
+        )
+        # Steady-state window: last quarter of the rollout.
+        tail = metrics["vel_err"][-num_ticks // 4 :]
+        upright_tail = metrics["upright"][-num_ticks // 4 :]
+        alive = (
+            (env_state.pos[:, 2] > 0.1)
+            & (env_state.pos[:, 2] < 1.0)
+            & (upright_tail.min(axis=0) > 0.6)
+        )
+        summary = {
+            "mean_vel_err": jnp.mean(tail),         # all-reduce over ICI
+            "max_vel_err": jnp.max(tail),
+            "survival_frac": jnp.mean(alive.astype(jnp.float32)),
+        }
+        return env_state, summary
+
+    return run(robot_b, gait_b, cmd_b)
