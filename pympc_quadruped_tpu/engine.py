@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from pympc_quadruped_tpu.models.mpc import MpcParams
 from pympc_quadruped_tpu.models.robots import RobotParams
 from pympc_quadruped_tpu.control import refmpc
-from pympc_quadruped_tpu.ops.qp import admm, cones, ipm
+from pympc_quadruped_tpu.ops.qp import admm, admm_fast, cones, ipm
 
 
 def solve_scenarios(
@@ -31,15 +31,21 @@ def solve_scenarios(
     pos_base_feet: jnp.ndarray,  # (B,4,3)
     X_ref: jnp.ndarray,        # (B,h,13) or (B,13h)
     gait_table: jnp.ndarray,   # (B,4h)
-    solver: Literal["ipm", "admm"] = "ipm",
+    solver: Literal["admm", "admm_ref", "ipm"] = "admm",
     ipm_cfg: ipm.IpmConfig = ipm.IpmConfig(),
     admm_cfg: admm.AdmmConfig = admm.AdmmConfig(),
+    admm_fast_cfg: admm_fast.AdmmFastConfig = admm_fast.AdmmFastConfig(),
     return_full_horizon: bool = False,
 ) -> jnp.ndarray:
     """Batched condensed-QP MPC solve.
 
     ``robot`` may be unbatched (shared) or carry a leading batch axis
     (randomization sweep); batched-ness is detected from ``mass``'s ndim.
+
+    Solvers: ``admm`` — the fast path (Ruiz-scaled, Schur-inverse setup,
+    Pallas VMEM-resident iteration on TPU); ``admm_ref`` — the plain
+    Cholesky/scan formulation kept as an on-device oracle; ``ipm`` — the
+    float-float-refined interior-point parity path.
 
     Returns (B,12) first-step GRFs (or (B,12h) with ``return_full_horizon``).
     """
@@ -58,11 +64,15 @@ def solve_scenarios(
             lambda t, r: cones.block_constraints(t, r.fz_max, mpc)
         )(gait_table, robot)
         U = ipm.solve_batch(H, g, G, h_vec, ipm_cfg)
-    else:
+    elif solver == "admm_ref":
         A, l, u = jax.vmap(
             lambda t, r: admm.admm_constraints(t, r.fz_max, mpc)
         )(gait_table, robot)
         U = admm.solve_batch(H, g, A, l, u, admm_cfg)
+    else:
+        U = admm_fast.solve_batch(
+            H, g, gait_table, robot.fz_max, mpc, admm_fast_cfg
+        )
 
     U = U * mv
     return U if return_full_horizon else U[:, :12]

@@ -31,8 +31,10 @@ def rollout_matrices(Ad: jnp.ndarray, Bd: jnp.ndarray, horizon: int):
       Sx: (h*13, 13), rows i hold Ad^{i+1}.
       Su: (h*13, h*12), block (i, j) = Ad^{i-j} @ Bd for i >= j else 0.
     """
+    prec = jax.lax.Precision.HIGHEST  # powers compound bf16-pass rounding
+
     def step(P, _):
-        P_next = P @ Ad
+        P_next = jnp.matmul(P, Ad, precision=prec)
         return P_next, P_next
 
     eye = jnp.eye(NUM_STATE, dtype=Ad.dtype)
@@ -42,7 +44,7 @@ def rollout_matrices(Ad: jnp.ndarray, Bd: jnp.ndarray, horizon: int):
     Sx = pows.reshape(horizon * NUM_STATE, NUM_STATE)
 
     # M[k] = Ad^k @ Bd, k = 0..h-1; Su block (i,j) = M[i-j] masked to i>=j.
-    M = jnp.einsum("kij,jm->kim", all_pows[:horizon], Bd)      # (h,13,12)
+    M = jnp.einsum("kij,jm->kim", all_pows[:horizon], Bd, precision=prec)  # (h,13,12)
     ii = jnp.arange(horizon)[:, None]
     jj = jnp.arange(horizon)[None, :]
     delta = jnp.clip(ii - jj, 0, horizon - 1)
@@ -75,11 +77,16 @@ def qp_cost(
     # f64 active-set oracle and the f32 IPM (see
     # tests/data/qp_nan_knife_edge.npz).  The Gram product is symmetric up
     # to reduce-order details; the explicit 0.5 (H + H^T) makes it exact.
+    # Full-f32 products: TPU matmuls default to one bf16 pass, whose 2^-8
+    # rounding on H both breaks the 1e-3 GRF parity bar and (via the
+    # near-singular reduced Hessian, lambda_min ~ 2R = 4e-5) can flip H
+    # indefinite.  HIGHEST costs 3 MXU passes — negligible at these sizes.
+    prec = jax.lax.Precision.HIGHEST
     sqrt_q = jnp.sqrt(q_bar)
     W = Su * sqrt_q[:, None]                 # (13h,12h)
-    WtW = W.T @ W
+    WtW = jnp.matmul(W.T, W, precision=prec)
     H = WtW + WtW.T + 2.0 * jnp.diag(r_bar)
-    g = 2.0 * (W.T @ (sqrt_q * (Sx @ x_t - X_ref)))
+    g = 2.0 * jnp.matmul(W.T, sqrt_q * (jnp.matmul(Sx, x_t, precision=prec) - X_ref), precision=prec)
     return H, g
 
 
