@@ -29,6 +29,7 @@ from pympc_quadruped_tpu.models.gaits import GaitParams
 from pympc_quadruped_tpu.models.mpc import MpcParams
 from pympc_quadruped_tpu.models.robots import RobotParams
 from pympc_quadruped_tpu.control import controller as ctrl
+from pympc_quadruped_tpu.env import terrain as terrain_lib
 from pympc_quadruped_tpu.ops import gaitsched, kin, lie
 
 
@@ -82,6 +83,17 @@ def observe(robot: RobotParams, state: SrbState) -> kin.RobotObs:
     )
 
 
+def init_state_on_terrain(robot: RobotParams, terrain: terrain_lib.Terrain) -> SrbState:
+    """Nominal stance with feet settled on the local ground surface."""
+    s = default_init_state(robot)
+    gz = terrain_lib.height_at(terrain, s.foot_pos[:, :2])
+    feet = s.foot_pos.at[:, 2].set(gz)
+    return s.replace(
+        pos=s.pos.at[2].add(jnp.mean(gz)),
+        foot_pos=feet,
+    )
+
+
 def physics_step(
     robot: RobotParams,
     mpc: MpcParams,
@@ -89,8 +101,15 @@ def physics_step(
     forces: jnp.ndarray,       # (12,) world GRFs (stance legs)
     swing_states: jnp.ndarray, # (4,)
     swing_pos_world: jnp.ndarray,  # (4,3) desired world swing-foot positions
+    terrain: terrain_lib.Terrain | None = None,
 ) -> SrbState:
-    """Semi-implicit Euler at dt_control; swing feet follow their targets."""
+    """Semi-implicit Euler at dt_control; swing feet follow their targets.
+
+    With ``terrain``, swing feet cannot penetrate the ground (their target z
+    is floored at the local surface height), so a foot that strikes a stair
+    riser or up-slope early touches down there and is pinned for its next
+    stance phase — the kinematic analog of early contact.
+    """
     dt = mpc.dt_control
     f = forces.reshape(4, 3)
     stance = (swing_states == 0.0)[:, None]
@@ -116,10 +135,37 @@ def physics_step(
     quat = lie.quat_integrate(state.quat, omega_body, dt)
 
     # Feet: pinned in stance (clamped to ground), target-following in swing.
+    if terrain is not None:
+        ground = terrain_lib.height_at(terrain, swing_pos_world[:, :2])
+        swing_pos_world = swing_pos_world.at[:, 2].set(
+            jnp.maximum(swing_pos_world[:, 2], ground)
+        )
     new_feet = jnp.where(stance, state.foot_pos, swing_pos_world)
     return SrbState(
         pos=pos, quat=quat, vel=vel, omega_body=omega_body, foot_pos=new_feet
     )
+
+
+def _diverged(state: SrbState) -> jnp.ndarray:
+    """(B,) divergence flags: non-finite state or implausible base pose.
+
+    The reference's only recovery mechanism is a periodic blanket sim reset
+    (ref ``isaacgym_a1.py:174-177``, ``mujoco_aliengo.py:232-236``); here
+    detection is per-scenario so one exploded rollout cannot poison a
+    sweep's statistics (SURVEY.md §5.3).
+    """
+    finite = (
+        jnp.all(jnp.isfinite(state.pos), axis=-1)
+        & jnp.all(jnp.isfinite(state.vel), axis=-1)
+        & jnp.all(jnp.isfinite(state.quat), axis=-1)
+        & jnp.all(jnp.isfinite(state.omega_body), axis=-1)
+        & jnp.all(jnp.isfinite(state.foot_pos), axis=(-1, -2))
+    )
+    rel_h = state.pos[:, 2] - jnp.mean(state.foot_pos[:, :, 2], axis=-1)
+    plausible = (rel_h > 0.05) & (rel_h < 1.0) & (
+        jnp.linalg.norm(state.vel, axis=-1) < 10.0
+    )
+    return ~(finite & plausible)
 
 
 def rollout(
@@ -130,17 +176,25 @@ def rollout(
     num_ticks: int,
     init_state: SrbState | None = None,
     solver: str = "ipm",
+    terrain: terrain_lib.Terrain | None = None,
+    auto_reset: bool = True,
 ):
     """Closed-loop batched rollout under ``lax.scan``.
 
     Every pytree argument except ``mpc`` carries a leading scenario batch
-    axis (``robot``, ``gait``, ``cmd`` are randomization axes).  Returns
-    ``((env_state, controller_carry), metrics)`` where metrics holds per-tick
-    (B,)-shaped tracking diagnostics.
+    axis (``robot``, ``gait``, ``cmd``, and optional ``terrain`` are
+    randomization axes).  Returns ``((env_state, controller_carry), metrics)``
+    where metrics holds per-tick (B,)-shaped tracking diagnostics, including
+    ``diverged`` flags; with ``auto_reset`` a diverged scenario snaps back to
+    its initial state (controller carry included) instead of poisoning the
+    remaining ticks.
     """
     B = jnp.shape(robot.mass)[0]
     if init_state is None:
-        init_state = jax.vmap(default_init_state)(robot)
+        if terrain is not None:
+            init_state = jax.vmap(init_state_on_terrain)(robot, terrain)
+        else:
+            init_state = jax.vmap(default_init_state)(robot)
     carry0 = jax.vmap(lambda _: ctrl.init_carry())(jnp.arange(B))
 
     def tick_fn(carry, tick):
@@ -153,14 +207,34 @@ def rollout(
         swing_pos_world = env_state.pos[:, None, :] + jnp.einsum(
             "bij,blj->bli", out.kin.R_base, out.pos_targets
         )
-        env_state = jax.vmap(lambda r, s, f, ss, sp: physics_step(r, mpc, s, f, ss, sp))(
-            robot, env_state, out.contact_forces, out.swing_states, swing_pos_world
-        )
+        if terrain is not None:
+            env_state = jax.vmap(
+                lambda r, s, f, ss, sp, t: physics_step(r, mpc, s, f, ss, sp, t)
+            )(robot, env_state, out.contact_forces, out.swing_states,
+              swing_pos_world, terrain)
+        else:
+            env_state = jax.vmap(
+                lambda r, s, f, ss, sp: physics_step(r, mpc, s, f, ss, sp)
+            )(robot, env_state, out.contact_forces, out.swing_states,
+              swing_pos_world)
+
+        bad = _diverged(env_state)
+        if auto_reset:
+            pick = lambda a, b: jax.tree.map(
+                lambda x, y: jnp.where(
+                    bad.reshape((B,) + (1,) * (x.ndim - 1)), x, y
+                ),
+                a, b,
+            )
+            env_state = pick(init_state, env_state)
+            c_carry = pick(carry0, c_carry)
+
         vel_des_world = jnp.einsum("bij,bj->bi", out.kin.R_base, cmd.vel_base_des)
         metrics = {
             "vel_err": jnp.linalg.norm(env_state.vel - vel_des_world, axis=-1),
             "height": env_state.pos[:, 2],
             "upright": out.kin.R_base[:, 2, 2],
+            "diverged": bad,
         }
         return (env_state, c_carry), metrics
 
