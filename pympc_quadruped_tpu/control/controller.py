@@ -34,7 +34,13 @@ from pympc_quadruped_tpu.models.mpc import MpcParams
 from pympc_quadruped_tpu.models.robots import RobotParams
 from pympc_quadruped_tpu.control import legctrl, refmpc, swing
 from pympc_quadruped_tpu.ops import gaitsched, kin
-from pympc_quadruped_tpu.ops.qp import admm, cones, ipm
+from pympc_quadruped_tpu.ops.qp import admm, admm_fast, cones, ipm
+
+# Solver used by every closed-loop surface unless overridden: the fast ADMM
+# (Ruiz-scaled, matmul-only Schur inverse, Pallas iteration on TPU) — the
+# same path the offline engine benches.  "ipm" is the float-float parity
+# path; plain "admm" is the slow on-device oracle.
+DEFAULT_SOLVER = "admm_fast"
 
 
 @struct.dataclass
@@ -80,8 +86,13 @@ def _solve_branch(robot, mpc, cmd, mpc_carry, ks, x_t, vel_des_world, table, sol
 
     All leading axes here are the scenario batch (this function is called on
     already-vmapped operands inside ``step_batch``).
+
+    Failed solves degrade gracefully: a scenario whose solution comes back
+    non-finite keeps its previously-held GRFs — the reference's implicit
+    behavior, where the last solution stays applied until the next solve
+    overwrites it (ref ``linear_mpc/mpc.py:99,108``).
     """
-    solver, ipm_cfg, admm_cfg = solver_cfg
+    solver, ipm_cfg, admm_cfg, af_cfg = solver_cfg
     mpc_carry, X = jax.vmap(
         lambda c, x, v, cm, r: refmpc.reference_trajectory(c, x, v, cm, mpc, r)
     )(mpc_carry, x_t, vel_des_world, cmd, robot)
@@ -96,13 +107,16 @@ def _solve_branch(robot, mpc, cmd, mpc_carry, ks, x_t, vel_des_world, table, sol
             lambda t, r: cones.block_constraints(t, r.fz_max, mpc)
         )(table, robot)
         U = ipm.solve_batch(H, g, G, h_vec, ipm_cfg)
-    else:
+    elif solver == "admm":
         A, l, u = jax.vmap(
             lambda t, r: admm.admm_constraints(t, r.fz_max, mpc)
         )(table, robot)
         U = admm.solve_batch(H, g, A, l, u, admm_cfg)
+    else:
+        U = admm_fast.solve_batch(H, g, table, robot.fz_max, mpc, af_cfg)
 
-    forces = (U * mv)[:, :12]
+    ok = jnp.all(jnp.isfinite(U), axis=-1, keepdims=True)
+    forces = jnp.where(ok, (U * mv)[:, :12], mpc_carry.contact_forces)
     return mpc_carry.replace(contact_forces=forces), forces
 
 
@@ -122,9 +136,10 @@ def step_batch(
     carry: ControllerCarry,
     obs: kin.RobotObs,
     tick: jnp.ndarray,
-    solver: Literal["ipm", "admm"] = "ipm",
+    solver: Literal["admm_fast", "admm", "ipm"] = DEFAULT_SOLVER,
     ipm_cfg: ipm.IpmConfig = ipm.IpmConfig(),
     admm_cfg: admm.AdmmConfig = admm.AdmmConfig(),
+    admm_fast_cfg: admm_fast.AdmmFastConfig = admm_fast.AdmmFastConfig(),
 ):
     """Batched tick: every pytree argument except ``mpc`` and ``tick`` carries a
     leading scenario axis (``robot``, ``gait`` and ``cmd`` included — they are
@@ -132,7 +147,7 @@ def step_batch(
 
     Returns (carry', ControllerOutput) with batch leading axes.
     """
-    solver_cfg = (solver, ipm_cfg, admm_cfg)
+    solver_cfg = (solver, ipm_cfg, admm_cfg, admm_fast_cfg)
 
     ks, swing_states, table, x_t, mpc_carry, vel_des_world = jax.vmap(
         lambda r, gt, cm, c, o: _pre_solve(r, mpc, gt, cm, c, o, tick)
@@ -178,7 +193,7 @@ def step(
     carry: ControllerCarry,
     obs: kin.RobotObs,
     tick: jnp.ndarray,
-    solver: Literal["ipm", "admm"] = "ipm",
+    solver: Literal["admm_fast", "admm", "ipm"] = DEFAULT_SOLVER,
 ):
     """Single-scenario tick (batch size 1 under the hood)."""
     batched = jax.tree.map(lambda x: jnp.asarray(x)[None], (robot, gait, cmd, carry, obs))

@@ -31,11 +31,12 @@ def solve_scenarios(
     pos_base_feet: jnp.ndarray,  # (B,4,3)
     X_ref: jnp.ndarray,        # (B,h,13) or (B,13h)
     gait_table: jnp.ndarray,   # (B,4h)
-    solver: Literal["admm", "admm_ref", "ipm"] = "admm",
+    solver: Literal["admm", "admm_fast", "admm_ref", "ipm"] = "admm",
     ipm_cfg: ipm.IpmConfig = ipm.IpmConfig(),
     admm_cfg: admm.AdmmConfig = admm.AdmmConfig(),
     admm_fast_cfg: admm_fast.AdmmFastConfig = admm_fast.AdmmFastConfig(),
     return_full_horizon: bool = False,
+    return_diagnostics: bool = False,
 ) -> jnp.ndarray:
     """Batched condensed-QP MPC solve.
 
@@ -48,6 +49,10 @@ def solve_scenarios(
     float-float-refined interior-point parity path.
 
     Returns (B,12) first-step GRFs (or (B,12h) with ``return_full_horizon``).
+    With ``return_diagnostics`` also returns the per-scenario QP health dict
+    from :func:`pympc_quadruped_tpu.utils.observability.qp_residuals`
+    (primal violation, stationarity scale, finite flags) — cheap enough to
+    ride along with production sweeps and be collective-reduced.
     """
     B = x_t.shape[0]
     if jnp.ndim(robot.mass) == 0:
@@ -69,10 +74,16 @@ def solve_scenarios(
             lambda t, r: admm.admm_constraints(t, r.fz_max, mpc)
         )(gait_table, robot)
         U = admm.solve_batch(H, g, A, l, u, admm_cfg)
-    else:
+    else:  # "admm" and its alias "admm_fast" — the fast path
         U = admm_fast.solve_batch(
             H, g, gait_table, robot.fz_max, mpc, admm_fast_cfg
         )
 
     U = U * mv
-    return U if return_full_horizon else U[:, :12]
+    out = U if return_full_horizon else U[:, :12]
+    if return_diagnostics:
+        from pympc_quadruped_tpu.utils import observability
+
+        diag = observability.qp_residuals(H, g, gait_table, robot.fz_max, U, mpc)
+        return out, diag
+    return out

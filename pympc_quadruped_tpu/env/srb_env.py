@@ -42,6 +42,7 @@ class SrbState:
     vel: jnp.ndarray        # (3,) world
     omega_body: jnp.ndarray # (3,) body frame
     foot_pos: jnp.ndarray   # (4,3) world; stance feet pinned here
+    foot_vel: jnp.ndarray   # (4,3) world foot velocity; zero for stance feet
 
 
 def default_init_state(robot: RobotParams) -> SrbState:
@@ -57,6 +58,7 @@ def default_init_state(robot: RobotParams) -> SrbState:
         vel=jnp.zeros(3, jnp.float32),
         omega_body=jnp.zeros(3, jnp.float32),
         foot_pos=feet,
+        foot_vel=jnp.zeros((4, 3), jnp.float32),
     )
 
 
@@ -65,12 +67,15 @@ def observe(robot: RobotParams, state: SrbState) -> kin.RobotObs:
     R = lie.quat_to_rotmat(state.quat)
     p_bf = (state.foot_pos - state.pos[None, :]) @ R
     q_legs = kin.leg_inverse_kinematics(robot, p_bf)
-    # Joint velocities: stance feet are stationary in the world, so the
-    # relative foot velocity in the base frame is -(omega x r + R^T v).
+    # Joint velocities from the kinematic chain rate:
+    #   v_foot_world = v_base + R (omega_b x p_bf) + R (J qdot)
+    # => J qdot = R^T (v_foot - v_base) - omega_b x p_bf.
+    # Stance feet carry foot_vel = 0 (pinned); swing feet carry the world
+    # velocity of their followed trajectory, so the controller's swing
+    # damping term sees the true rates instead of a stationary-foot guess.
     _, J = kin.leg_forward_kinematics(robot, q_legs)
-    v_rel = -(
-        jnp.cross(jnp.broadcast_to(state.omega_body, (4, 3)), p_bf)
-        + (R.T @ state.vel)[None, :]
+    v_rel = (state.foot_vel - state.vel[None, :]) @ R - jnp.cross(
+        jnp.broadcast_to(state.omega_body, (4, 3)), p_bf
     )
     qdot_legs = jnp.linalg.solve(J, v_rel[..., None])[..., 0]
     return kin.RobotObs(
@@ -141,8 +146,10 @@ def physics_step(
             jnp.maximum(swing_pos_world[:, 2], ground)
         )
     new_feet = jnp.where(stance, state.foot_pos, swing_pos_world)
+    new_foot_vel = jnp.where(stance, 0.0, (new_feet - state.foot_pos) / dt)
     return SrbState(
-        pos=pos, quat=quat, vel=vel, omega_body=omega_body, foot_pos=new_feet
+        pos=pos, quat=quat, vel=vel, omega_body=omega_body,
+        foot_pos=new_feet, foot_vel=new_foot_vel,
     )
 
 
@@ -160,6 +167,7 @@ def _diverged(state: SrbState) -> jnp.ndarray:
         & jnp.all(jnp.isfinite(state.quat), axis=-1)
         & jnp.all(jnp.isfinite(state.omega_body), axis=-1)
         & jnp.all(jnp.isfinite(state.foot_pos), axis=(-1, -2))
+        & jnp.all(jnp.isfinite(state.foot_vel), axis=(-1, -2))
     )
     rel_h = state.pos[:, 2] - jnp.mean(state.foot_pos[:, :, 2], axis=-1)
     plausible = (rel_h > 0.05) & (rel_h < 1.0) & (
@@ -175,7 +183,7 @@ def rollout(
     cmd: Command,
     num_ticks: int,
     init_state: SrbState | None = None,
-    solver: str = "ipm",
+    solver: str = ctrl.DEFAULT_SOLVER,
     terrain: terrain_lib.Terrain | None = None,
     auto_reset: bool = True,
 ):

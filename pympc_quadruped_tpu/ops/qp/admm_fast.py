@@ -74,7 +74,24 @@ class AdmmFastConfig(NamedTuple):
 # Shared friction-pyramid pattern
 # ---------------------------------------------------------------------------
 
-def cone_pattern(mu: float, horizon: int) -> jnp.ndarray:
+def _pyramid_rows(mu) -> jnp.ndarray:
+    """The (5,3) per-(step,leg) friction-pyramid block, tracer-safe in mu
+    (ref row layout ``linear_mpc/mpc.py:239-245``)."""
+    mu = jnp.asarray(mu, jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
+    one = jnp.ones((), jnp.float32)
+    return jnp.stack(
+        [
+            jnp.stack([one, zero, mu]),
+            jnp.stack([-one, zero, mu]),
+            jnp.stack([zero, one, mu]),
+            jnp.stack([zero, -one, mu]),
+            jnp.stack([zero, zero, one]),
+        ]
+    )
+
+
+def cone_pattern(mu, horizon: int) -> jnp.ndarray:
     """The fixed (5*4h, 12h) block-diagonal pyramid pattern P0.
 
     Row layout per (step, leg) block (ref ``linear_mpc/mpc.py:239-245``):
@@ -83,16 +100,7 @@ def cone_pattern(mu: float, horizon: int) -> jnp.ndarray:
     diagonal row/column scalings, so P0 is shared by every scenario and
     every pattern product is a true MXU matmul.
     """
-    rows = jnp.array(
-        [
-            [1.0, 0.0, mu],
-            [-1.0, 0.0, mu],
-            [0.0, 1.0, mu],
-            [0.0, -1.0, mu],
-            [0.0, 0.0, 1.0],
-        ],
-        jnp.float32,
-    )
+    rows = _pyramid_rows(mu)
     n_blk = 4 * horizon
     eye = jnp.eye(n_blk, dtype=jnp.float32)
     # (blk,5,blk,3): block-diagonal placement without scatters.
@@ -267,7 +275,7 @@ def setup(H, g, gait_table, fz_max, mpc: MpcParams, cfg: AdmmFastConfig):
     """Scale, assemble and invert — batched, scatter-free, matmul-dominated."""
     B, n = g.shape
     h = mpc.horizon
-    mu = float(mpc.friction_coef)
+    mu = mpc.friction_coef
 
     srow, l, u = row_bounds(gait_table, fz_max, h)
 
@@ -286,16 +294,7 @@ def setup(H, g, gait_table, fz_max, mpc: MpcParams, cfg: AdmmFastConfig):
     # K = Hs + sigma I + A^T rho A, with A = diag(es) P0 diag(d).
     # A^T rho A is block-diagonal (3x3 per (step,leg) block):
     #   blk = d_blk (pat^T diag(rho_blk * es_blk^2) pat) d_blk^T
-    pat = jnp.array(
-        [
-            [1.0, 0.0, mu],
-            [-1.0, 0.0, mu],
-            [0.0, 1.0, mu],
-            [0.0, -1.0, mu],
-            [0.0, 0.0, 1.0],
-        ],
-        H.dtype,
-    )
+    pat = _pyramid_rows(mu).astype(H.dtype)
     w = (rho * es * es).reshape(B, 4 * h, ROWS_PER_BLOCK)      # (B,blk,5)
     core = jnp.einsum("rc,bkr,rd->bkcd", pat, w, pat, precision=_PREC)  # (B,blk,3,3)
     db = d.reshape(B, 4 * h, 3)
@@ -352,7 +351,7 @@ def solve_batch(H, g, gait_table, fz_max, mpc: MpcParams,
     swing variables cost-pinned (``cones.mask_cost``).  Returns (B, 12h) U
     in unscaled units (caller applies the swing mask for exact zeros).
     """
-    P0 = cone_pattern(float(mpc.friction_coef), mpc.horizon)
+    P0 = cone_pattern(mpc.friction_coef, mpc.horizon)
     ops = setup(H, g, gait_table, fz_max, mpc, cfg)
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"

@@ -83,9 +83,13 @@ def _kernel(Kinv_ref, q_ref, d_ref, es_ref, rho_ref, l_ref, u_ref,
 def _iterate(Kinv, q, d, es, rho, l, u, P0, iterations, sigma, alpha, tile):
     B, n = q.shape
     m = es.shape[-1]
+    # Largest divisor of B not exceeding the requested tile, so closed-loop
+    # callers with arbitrary batch sizes (B=1 single robot, B=12, ...) work
+    # without padding; throughput callers use power-of-two batches and get
+    # the full tile.
     tile = min(tile, B)
-    if B % tile:
-        raise ValueError(f"batch {B} not a multiple of tile {tile}")
+    while B % tile:
+        tile -= 1
     kern = functools.partial(
         _kernel, iterations=iterations, sigma=float(sigma), alpha=float(alpha)
     )

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from pympc_quadruped_tpu import engine
+from pympc_quadruped_tpu.control import controller as ctrl
 from pympc_quadruped_tpu.env import srb_env
 from pympc_quadruped_tpu.models.command import Command
 from pympc_quadruped_tpu.models.gaits import GaitParams
@@ -48,7 +49,7 @@ def randomized_robots(robot: RobotParams, batch: int, key, mass_scale=0.2, inert
     )
 
 
-@partial(jax.jit, static_argnames=("solver",))
+@partial(jax.jit, static_argnames=("solver", "return_diagnostics"))
 def solve_sweep_step(
     robot: RobotParams,
     mpc: MpcParams,
@@ -57,11 +58,18 @@ def solve_sweep_step(
     pos_base_feet: jnp.ndarray,
     X_ref: jnp.ndarray,
     gait_table: jnp.ndarray,
-    solver: str = "ipm",
+    solver: str = "admm",
+    return_diagnostics: bool = False,
 ):
-    """One batched MPC solve step (jitted; shard inputs with ``shard_batch``)."""
+    """One batched MPC solve step (jitted; shard inputs with ``shard_batch``).
+
+    With ``return_diagnostics`` the per-scenario QP health telemetry rides
+    along (SURVEY.md §5.5) — reduce it across the mesh or feed it to a
+    :class:`pympc_quadruped_tpu.utils.observability.MetricsLogger`.
+    """
     return engine.solve_scenarios(
-        robot, mpc, x_t, yaw, pos_base_feet, X_ref, gait_table, solver=solver
+        robot, mpc, x_t, yaw, pos_base_feet, X_ref, gait_table, solver=solver,
+        return_diagnostics=return_diagnostics,
     )
 
 
@@ -72,7 +80,7 @@ def rollout_sweep(
     cmd_b: Command,
     num_ticks: int,
     mesh=None,
-    solver: str = "ipm",
+    solver: str = ctrl.DEFAULT_SOLVER,
 ):
     """Closed-loop sweep with cross-chip metric reduction.
 

@@ -100,6 +100,7 @@ def lockstep_outputs():
             c,
             o,
             t,
+            solver="ipm",
             ipm_cfg=ipm.PARITY_CONFIG,
         )
     )
