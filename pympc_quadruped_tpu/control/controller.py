@@ -59,8 +59,10 @@ class ControllerOutput:
     kin: kin.KinState
 
 
-def init_carry() -> ControllerCarry:
-    return ControllerCarry(mpc=refmpc.MpcCarry.init(), swing=swing.SwingCarry.init())
+def init_carry(horizon: int = 10) -> ControllerCarry:
+    return ControllerCarry(
+        mpc=refmpc.MpcCarry.init(horizon), swing=swing.SwingCarry.init()
+    )
 
 
 def _pre_solve(robot, mpc, gait, cmd, carry, obs, tick):
@@ -113,7 +115,30 @@ def _solve_branch(robot, mpc, cmd, mpc_carry, ks, x_t, vel_des_world, table, sol
         )(table, robot)
         U = admm.solve_batch(H, g, A, l, u, admm_cfg)
     else:
-        U = admm_fast.solve_batch(H, g, table, robot.fz_max, mpc, af_cfg)
+        # Warm start from the previous solve, shifted by one MPC step
+        # (receding horizon: the gait phase advances exactly one segment
+        # per solve, so block k of this solve aligns with block k+1 of the
+        # last one).  Variables shift by 12 (one step of GRFs), cone rows
+        # by 20 (4 legs x 5 pyramid rows); the trailing step repeats.
+        U_ws = jnp.concatenate(
+            [mpc_carry.qp_primal[:, 12:], mpc_carry.qp_primal[:, -12:]], axis=-1
+        )
+        lam_ws = jnp.concatenate(
+            [mpc_carry.qp_dual[:, 20:], mpc_carry.qp_dual[:, -20:]], axis=-1
+        )
+        U, lam = admm_fast.solve_batch(
+            H, g, table, robot.fz_max, mpc, af_cfg,
+            warm=(U_ws, lam_ws), return_duals=True,
+        )
+        ok_ws = jnp.all(jnp.isfinite(U), axis=-1, keepdims=True) & jnp.all(
+            jnp.isfinite(lam), axis=-1, keepdims=True
+        )
+        # A failed solve resets the warm state to zeros (cold restart next
+        # tick) instead of re-feeding non-finite values forever.
+        mpc_carry = mpc_carry.replace(
+            qp_primal=jnp.where(ok_ws, U * mv, 0.0),
+            qp_dual=jnp.where(ok_ws, lam, 0.0),
+        )
 
     ok = jnp.all(jnp.isfinite(U), axis=-1, keepdims=True)
     forces = jnp.where(ok, (U * mv)[:, :12], mpc_carry.contact_forces)

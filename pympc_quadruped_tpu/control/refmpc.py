@@ -46,9 +46,15 @@ class MpcCarry:
     roll_comp_int: jnp.ndarray   # the reference's roll_init integrator
     pitch_comp_int: jnp.ndarray  # the reference's pitch_init integrator
     first_run: jnp.ndarray       # bool
+    # Warm-start state for the fast ADMM: the previous solve tick's
+    # full-horizon primal (12h,) and friction-cone row duals (20h,), kept in
+    # unscaled problem units (scalings change between solves).  Zeros = cold
+    # start, which is also the post-fault reset value.
+    qp_primal: jnp.ndarray
+    qp_dual: jnp.ndarray
 
     @staticmethod
-    def init() -> "MpcCarry":
+    def init(horizon: int = 10) -> "MpcCarry":
         z = jnp.float32(0.0)
         return MpcCarry(
             contact_forces=jnp.zeros((12,), jnp.float32),
@@ -58,6 +64,8 @@ class MpcCarry:
             roll_comp_int=z,
             pitch_comp_int=z,
             first_run=jnp.array(True),
+            qp_primal=jnp.zeros((12 * horizon,), jnp.float32),
+            qp_dual=jnp.zeros((20 * horizon,), jnp.float32),
         )
 
 

@@ -203,7 +203,7 @@ def rollout(
             init_state = jax.vmap(init_state_on_terrain)(robot, terrain)
         else:
             init_state = jax.vmap(default_init_state)(robot)
-    carry0 = jax.vmap(lambda _: ctrl.init_carry())(jnp.arange(B))
+    carry0 = jax.vmap(lambda _: ctrl.init_carry(mpc.horizon))(jnp.arange(B))
 
     def tick_fn(carry, tick):
         env_state, c_carry = carry

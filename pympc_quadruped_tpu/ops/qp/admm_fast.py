@@ -312,8 +312,13 @@ def setup(H, g, gait_table, fz_max, mpc: MpcParams, cfg: AdmmFastConfig):
 # Iteration (pure-jnp reference path; Pallas kernel mirrors this math)
 # ---------------------------------------------------------------------------
 
-def iterate_jnp(ops: AdmmOperands, P0: jnp.ndarray, cfg: AdmmFastConfig):
-    """Scaled ADMM iterations, batch-major.  Returns scaled x."""
+def iterate_jnp(ops: AdmmOperands, P0: jnp.ndarray, cfg: AdmmFastConfig,
+                init=None):
+    """Scaled ADMM iterations, batch-major.  Returns scaled (x, y).
+
+    ``init`` is an optional scaled warm start (x0, z0, y0); zeros (the cold
+    start) otherwise.
+    """
     B, n = ops.q.shape
     m = ops.l.shape[-1]
     sigma, alpha = cfg.sigma, cfg.alpha
@@ -335,30 +340,61 @@ def iterate_jnp(ops: AdmmOperands, P0: jnp.ndarray, cfg: AdmmFastConfig):
         y_new = y + ops.rho * (zbar - z_new)
         return (x_new, z_new, y_new), None
 
-    x0 = jnp.zeros((B, n), ops.q.dtype)
-    z0 = jnp.zeros((B, m), ops.q.dtype)
-    y0 = jnp.zeros((B, m), ops.q.dtype)
-    (x, z, y), _ = jax.lax.scan(body, (x0, z0, y0), None, length=cfg.iterations)
-    return x
+    if init is None:
+        init = (
+            jnp.zeros((B, n), ops.q.dtype),
+            jnp.zeros((B, m), ops.q.dtype),
+            jnp.zeros((B, m), ops.q.dtype),
+        )
+    (x, z, y), _ = jax.lax.scan(body, init, None, length=cfg.iterations)
+    return x, y
 
 
 def solve_batch(H, g, gait_table, fz_max, mpc: MpcParams,
                 cfg: AdmmFastConfig = AdmmFastConfig(),
-                backend: str = "auto"):
+                backend: str = "auto",
+                warm=None,
+                return_duals: bool = False):
     """Batched fast-ADMM solve of the masked condensed QP.
 
     Args mirror :func:`engine.solve_scenarios` internals: H/g already have
     swing variables cost-pinned (``cones.mask_cost``).  Returns (B, 12h) U
     in unscaled units (caller applies the swing mask for exact zeros).
+
+    ``warm`` is an optional *unscaled* warm start ``(U0, lam0)`` — the primal
+    (B, 12h) and the row duals (B, 20h) of a previous solve, typically the
+    receding-horizon shift of the last solve tick's solution.  Scalings
+    change between solves (Ruiz depends on H), so the warm start is kept in
+    problem units and mapped into the current scaled coordinates here:
+    ``x0 = U0 / d``, ``z0 = clip(es * (P0 U0), l, u)``, ``y0 = lam0 / es``
+    (zero on gated swing rows).  All-zero ``warm`` reduces exactly to the
+    cold start.
+
+    With ``return_duals`` the unscaled row duals ``lam = es * y`` ride along
+    for the caller to carry into the next solve.
     """
     P0 = cone_pattern(mpc.friction_coef, mpc.horizon)
     ops = setup(H, g, gait_table, fz_max, mpc, cfg)
+    init = None
+    if warm is not None:
+        U0, lam0 = warm
+        U0 = jnp.asarray(U0, ops.q.dtype)
+        lam0 = jnp.asarray(lam0, ops.q.dtype)
+        gated = ops.es > 0.0
+        safe_es = jnp.where(gated, ops.es, 1.0)
+        x0 = U0 / ops.d
+        z0 = jnp.clip(ops.es * (U0 @ P0.T), ops.l, ops.u)
+        y0 = jnp.where(gated, lam0 / safe_es, 0.0)
+        init = (x0, z0, y0)
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if backend == "pallas":
         from pympc_quadruped_tpu.ops.qp import admm_pallas
 
-        x = admm_pallas.iterate(ops, P0, cfg)
+        x, y = admm_pallas.iterate(ops, P0, cfg, init)
     else:
-        x = iterate_jnp(ops, P0, cfg)
-    return x * ops.d
+        x, y = iterate_jnp(ops, P0, cfg, init)
+    U = x * ops.d
+    if return_duals:
+        return U, ops.es * y
+    return U

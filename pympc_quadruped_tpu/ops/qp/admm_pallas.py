@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(Kinv_ref, q_ref, d_ref, es_ref, rho_ref, l_ref, u_ref,
-            P0T_ref, P0_ref, x_ref, *,
+            P0T_ref, P0_ref, x0_ref, z0_ref, y0_ref, x_ref, y_ref, *,
             iterations: int, sigma: float, alpha: float):
     Kinv = Kinv_ref[:]            # (T,n,n)
     q = q_ref[:]                  # (T,n)
@@ -70,17 +70,18 @@ def _kernel(Kinv_ref, q_ref, d_ref, es_ref, rho_ref, l_ref, u_ref,
         y_new = y + rho * (zbar - z_new)
         return x_new, z_new, y_new
 
-    x0 = jnp.zeros((T, n), jnp.float32)
-    z0 = jnp.zeros((T, m), jnp.float32)
-    y0 = jnp.zeros((T, m), jnp.float32)
-    x, _, _ = jax.lax.fori_loop(0, iterations, body, (x0, z0, y0))
+    x, _, y = jax.lax.fori_loop(
+        0, iterations, body, (x0_ref[:], z0_ref[:], y0_ref[:])
+    )
     x_ref[:] = x
+    y_ref[:] = y
 
 
 @functools.partial(
     jax.jit, static_argnames=("iterations", "sigma", "alpha", "tile")
 )
-def _iterate(Kinv, q, d, es, rho, l, u, P0, iterations, sigma, alpha, tile):
+def _iterate(Kinv, q, d, es, rho, l, u, P0, x0, z0, y0,
+             iterations, sigma, alpha, tile):
     B, n = q.shape
     m = es.shape[-1]
     # Largest divisor of B not exceeding the requested tile, so closed-loop
@@ -108,19 +109,34 @@ def _iterate(Kinv, q, d, es, rho, l, u, P0, iterations, sigma, alpha, tile):
             ),
             vec(n), vec(n), vec(m), vec(m), vec(m), vec(m),
             shared(n, m), shared(m, n),
+            vec(n), vec(m), vec(m),
         ],
-        out_specs=vec(n),
-        out_shape=jax.ShapeDtypeStruct((B, n), jnp.float32),
-    )(Kinv, q, d, es, rho, l, u, P0.T, P0)
+        out_specs=(vec(n), vec(m)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n), jnp.float32),
+            jax.ShapeDtypeStruct((B, m), jnp.float32),
+        ),
+    )(Kinv, q, d, es, rho, l, u, P0.T, P0, x0, z0, y0)
 
 
-def iterate(ops, P0: jnp.ndarray, cfg) -> jnp.ndarray:
+def iterate(ops, P0: jnp.ndarray, cfg, init=None):
     """Run the fixed-iteration ADMM loop in one Pallas kernel.
 
-    Returns the SCALED solution x (B,n), like ``iterate_jnp`` — the caller
-    applies the Ruiz unscaling ``x * d``.
+    Returns the SCALED (x, y) pair (B,n)/(B,m), like ``iterate_jnp`` — the
+    caller applies the Ruiz unscaling ``x * d`` / ``es * y``.  ``init`` is an
+    optional scaled warm start (x0, z0, y0); zeros otherwise.
     """
+    B, n = ops.q.shape
+    m = ops.es.shape[-1]
+    if init is None:
+        init = (
+            jnp.zeros((B, n), jnp.float32),
+            jnp.zeros((B, m), jnp.float32),
+            jnp.zeros((B, m), jnp.float32),
+        )
+    x0, z0, y0 = init
     return _iterate(
         ops.Kinv, ops.q, ops.d, ops.es, ops.rho, ops.l, ops.u, P0,
+        x0, z0, y0,
         cfg.iterations, cfg.sigma, cfg.alpha, cfg.tile,
     )
