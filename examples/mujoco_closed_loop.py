@@ -21,10 +21,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon TPU plugin force-appends itself to jax_platforms regardless of the
+# JAX_PLATFORMS env var, and its client init can hang when the TPU tunnel is
+# unreachable or other native libs (mujoco/scipy) load first.  When the user
+# asked for CPU, pin it via jax.config BEFORE importing mujoco (same pattern
+# as tests/conftest.py).
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import mujoco
 import numpy as np
 
-ALIENGO_XML = "/root/reference/robot/aliengo/aliengo.xml"
+# Self-contained: the MuJoCo model is GENERATED from the same RobotParams the
+# controller uses (pympc_quadruped_tpu/env/mjcf.py) — no reference checkout
+# needed.  Pass --xml to run against an external MJCF (e.g. the reference's
+# robot/aliengo/aliengo.xml) instead.
 
 
 def reset_nominal(model, data, height):
@@ -52,38 +65,42 @@ def read_obs(model, data):
     }
 
 
-def make_oracle_controller(horizon):
+def make_oracle_controller(horizon, robot_name="aliengo", vx=1.2):
     from pympc_quadruped_tpu.oracle import npref
 
+    params = (
+        npref.oracle_aliengo() if robot_name == "aliengo" else npref.oracle_a1()
+    )
     ctrl = npref.OracleController(
-        npref.oracle_aliengo(),
+        params,
         npref.OracleConfig(horizon=horizon),
         npref.OracleGait.trotting10(),
     )
 
     def step(obs, tick):
-        out = ctrl.step(obs, [1.2, 0.0, 0.0], 0.0, tick)
+        out = ctrl.step(obs, [vx, 0.0, 0.0], 0.0, tick)
         return out["torques"], out["forces"]
 
     return step
 
 
-def make_jax_controller(horizon):
+def make_jax_controller(horizon, robot_name="aliengo", vx=1.2):
     import jax
     import jax.numpy as jnp
     from pympc_quadruped_tpu.models.command import Command
     from pympc_quadruped_tpu.models.gaits import Gaits
     from pympc_quadruped_tpu.models.mpc import MpcParams
-    from pympc_quadruped_tpu.models.robots import aliengo
+    from pympc_quadruped_tpu.models.robots import a1, aliengo
     from pympc_quadruped_tpu.control import controller as ctl
     from pympc_quadruped_tpu.ops import kin
 
     mpc = MpcParams(horizon=horizon)
     tile = lambda t: jax.tree.map(lambda x: jnp.asarray(x)[None], t)
-    robot, gait, cmd = tile(aliengo()), tile(Gaits.trotting10()), tile(
-        Command.trot_forward(1.2)
+    params = aliengo() if robot_name == "aliengo" else a1()
+    robot, gait, cmd = tile(params), tile(Gaits.trotting10()), tile(
+        Command.trot_forward(vx)
     )
-    carry = tile(ctl.init_carry())
+    carry = tile(ctl.init_carry(mpc.horizon))
     step_fn = jax.jit(
         lambda c, o, t: ctl.step_batch(robot, mpc, gait, cmd, c, o, t)
     )
@@ -104,16 +121,27 @@ def make_jax_controller(horizon):
     return step
 
 
-def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True):
-    model = mujoco.MjModel.from_xml_path(ALIENGO_XML)
+def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
+        robot="aliengo", vx=None, xml=None):
+    from pympc_quadruped_tpu.env import mjcf
+
+    if vx is None:
+        # Reference commands: Aliengo trot at 1.2 (ref mujoco_aliengo.py:179),
+        # A1 at 1.4 (ref isaacgym_a1.py:98).
+        vx = 1.2 if robot == "aliengo" else 1.4
+    if xml is not None:
+        model = mujoco.MjModel.from_xml_path(xml)
+    else:
+        model = mujoco.MjModel.from_xml_string(mjcf.model_xml(robot))
     data = mujoco.MjData(model)
-    reset_nominal(model, data, 0.38)
+    height = 0.38 if robot == "aliengo" else 0.3
+    reset_nominal(model, data, height)
     mujoco.mj_step(model, data)  # settle one step, like the reference (ref :167)
 
     step_fn = (
-        make_oracle_controller(horizon)
+        make_oracle_controller(horizon, robot, vx)
         if controller == "oracle"
-        else make_jax_controller(horizon)
+        else make_jax_controller(horizon, robot, vx)
     )
 
     n_ticks = int(seconds * 1000)
@@ -177,5 +205,9 @@ if __name__ == "__main__":
     ap.add_argument("--seconds", type=float, default=5.0)
     ap.add_argument("--horizon", type=int, default=10)
     ap.add_argument("--record", default=None)
+    ap.add_argument("--robot", choices=["aliengo", "a1"], default="aliengo")
+    ap.add_argument("--vx", type=float, default=None)
+    ap.add_argument("--xml", default=None, help="external MJCF instead of generated")
     args = ap.parse_args()
-    run(args.controller, args.seconds, args.horizon, args.record)
+    run(args.controller, args.seconds, args.horizon, args.record,
+        robot=args.robot, vx=args.vx, xml=args.xml)

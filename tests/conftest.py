@@ -75,5 +75,16 @@ def ref_state():
 
 
 @pytest.fixture(scope="session")
-def aliengo_xml_path():
-    return "/root/reference/robot/aliengo/aliengo.xml"
+def aliengo_xml_path(tmp_path_factory):
+    """Aliengo MJCF: the reference's hand-written model when mounted (an
+    *independent* geometry oracle), else the framework's generated model
+    (self-contained fallback — the suite stays green without /root/reference).
+    """
+    ref = "/root/reference/robot/aliengo/aliengo.xml"
+    if os.path.exists(ref):
+        return ref
+    from pympc_quadruped_tpu.env import mjcf
+
+    path = tmp_path_factory.mktemp("mjcf") / "aliengo.xml"
+    mjcf.write_model(str(path), "aliengo")
+    return str(path)
