@@ -65,6 +65,79 @@ def read_obs(model, data):
     }
 
 
+def read_raw_sensors(data):
+    """IMU + encoders only — the reference's realistic input mode
+    (ref ``get_simulated_sensor_data``, scripts/mujoco_aliengo.py:101-118):
+    framequat, gyro, accelerometer, 12 jointpos, 12 jointvel."""
+    return {
+        "quat": data.sensordata[0:4].copy(),
+        "gyro": data.sensordata[4:7].copy(),
+        "accel": data.sensordata[7:10].copy(),
+        "q": data.sensordata[10:22].copy(),
+        "qdot": data.sensordata[22:34].copy(),
+        "touch": data.sensordata[34:38].copy(),
+    }
+
+
+def make_kf_estimator(robot_name, init_pos):
+    """Two-stage KF (estimation/kf.py) fed by raw sensors; returns a
+    callable (raw, tick) -> controller observation dict.  Contact gating
+    comes from the gait schedule's planned stance (TROTTING10), like the
+    on-device estimated rollout."""
+    import jax
+    import jax.numpy as jnp
+    from pympc_quadruped_tpu.estimation import kf
+    from pympc_quadruped_tpu.models.gaits import Gaits
+    from pympc_quadruped_tpu.models.mpc import MpcParams
+    from pympc_quadruped_tpu.models.robots import a1, aliengo
+    from pympc_quadruped_tpu.ops import gaitsched, kin
+
+    robot = aliengo() if robot_name == "aliengo" else a1()
+    mpc = MpcParams(horizon=10)
+    gait = Gaits.trotting10()
+    # MuJoCo feet are spheres: the stance-foot *center* rests one radius
+    # above ground (= -touchdown_z of the robot params).
+    prm = kf.KfParams.default().replace(
+        contact_height=-jnp.asarray(robot.touchdown_z)
+    )
+    q0 = jnp.tile(jnp.array([0.0, 0.8, -1.6], jnp.float32), 4).reshape(4, 3)
+    p_bf, _ = kin.leg_forward_kinematics(robot, q0)
+    feet0 = jnp.asarray(init_pos, jnp.float32)[None, :] + p_bf
+    state = {
+        "kf": kf.KfState.init(jnp.asarray(init_pos, jnp.float32), feet0)
+    }
+
+    @jax.jit
+    def _tick(st, gyro, accel, qj, qdj, contact):
+        return kf.update(st, robot, gyro, accel, qj, qdj, contact, prm)
+
+    def estimate(raw, tick):
+        # Gate the foot-fixed measurements by MEASURED contact (the MJCF's
+        # touch sensors), not the gait plan: a planned-stance foot that is
+        # actually airborne (e.g. A1 straining for its unreachable 0.42 m
+        # height target) would otherwise anchor velocity to a moving foot.
+        contact = (np.asarray(raw["touch"]) > 0.5).astype(np.float32)
+        st = _tick(
+            state["kf"],
+            jnp.asarray(raw["gyro"], jnp.float32),
+            jnp.asarray(raw["accel"], jnp.float32),
+            jnp.asarray(raw["q"], jnp.float32),
+            jnp.asarray(raw["qdot"], jnp.float32),
+            jnp.asarray(contact, jnp.float32),
+        )
+        state["kf"] = st
+        return {
+            "pos": np.asarray(st.x[0:3], np.float64),
+            "vel": np.asarray(st.x[3:6], np.float64),
+            "quat": np.asarray(st.quat, np.float64),
+            "omega": raw["gyro"],
+            "q": raw["q"],
+            "qdot": raw["qdot"],
+        }
+
+    return estimate
+
+
 def make_oracle_controller(horizon, robot_name="aliengo", vx=1.2):
     from pympc_quadruped_tpu.oracle import npref
 
@@ -122,7 +195,7 @@ def make_jax_controller(horizon, robot_name="aliengo", vx=1.2):
 
 
 def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
-        robot="aliengo", vx=None, xml=None):
+        robot="aliengo", vx=None, xml=None, sensors="truth"):
     from pympc_quadruped_tpu.env import mjcf
 
     if vx is None:
@@ -143,12 +216,19 @@ def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
         if controller == "oracle"
         else make_jax_controller(horizon, robot, vx)
     )
+    estimator = None
+    if sensors == "raw":
+        estimator = make_kf_estimator(robot, data.xpos[model.body("trunk").id])
 
     n_ticks = int(seconds * 1000)
     log = {"t": [], "pos": [], "vel": [], "obs": [], "forces": [], "torques": []}
     t_start = time.time()
     for tick in range(n_ticks):
-        obs = read_obs(model, data)
+        if estimator is not None:
+            obs = estimator(read_raw_sensors(data), tick)
+            obs["true_pos"] = data.xpos[model.body("trunk").id].copy()
+        else:
+            obs = read_obs(model, data)
         torques, forces = step_fn(obs, tick)
         data.ctrl[:] = torques
         mujoco.mj_step(model, data)
@@ -208,6 +288,10 @@ if __name__ == "__main__":
     ap.add_argument("--robot", choices=["aliengo", "a1"], default="aliengo")
     ap.add_argument("--vx", type=float, default=None)
     ap.add_argument("--xml", default=None, help="external MJCF instead of generated")
+    ap.add_argument(
+        "--sensors", choices=["truth", "raw"], default="truth",
+        help="raw = IMU+encoders through the two-stage KF (no ground truth)",
+    )
     args = ap.parse_args()
     run(args.controller, args.seconds, args.horizon, args.record,
-        robot=args.robot, vx=args.vx, xml=args.xml)
+        robot=args.robot, vx=args.vx, xml=args.xml, sensors=args.sensors)

@@ -30,6 +30,7 @@ from pympc_quadruped_tpu.models.mpc import MpcParams
 from pympc_quadruped_tpu.models.robots import RobotParams
 from pympc_quadruped_tpu.control import controller as ctrl
 from pympc_quadruped_tpu.env import terrain as terrain_lib
+from pympc_quadruped_tpu.estimation import kf
 from pympc_quadruped_tpu.ops import gaitsched, kin, lie
 
 
@@ -88,6 +89,66 @@ def observe(robot: RobotParams, state: SrbState) -> kin.RobotObs:
     )
 
 
+@struct.dataclass
+class RawSensors:
+    """IMU + encoder feed — the on-device analog of the reference's
+    raw-sensor input mode (ref ``scripts/mujoco_aliengo.py:101-118``:
+    framequat, gyro, accelerometer, 12 jointpos, 12 jointvel)."""
+
+    quat: jnp.ndarray   # (4,) wxyz orientation (IMU fusion output)
+    gyro: jnp.ndarray   # (3,) body-frame angular velocity
+    accel: jnp.ndarray  # (3,) body-frame specific force (includes +g at rest)
+    q: jnp.ndarray      # (12,) joint encoders
+    qdot: jnp.ndarray   # (12,)
+
+
+@struct.dataclass
+class SensorNoise:
+    gyro: jnp.ndarray
+    accel: jnp.ndarray
+    encoder_q: jnp.ndarray
+    encoder_qd: jnp.ndarray
+
+    @staticmethod
+    def default() -> "SensorNoise":
+        f = jnp.float32
+        return SensorNoise(
+            gyro=f(0.01), accel=f(0.05), encoder_q=f(0.001), encoder_qd=f(0.02)
+        )
+
+    @staticmethod
+    def zero() -> "SensorNoise":
+        f = jnp.float32
+        return SensorNoise(gyro=f(0.0), accel=f(0.0), encoder_q=f(0.0), encoder_qd=f(0.0))
+
+
+def synthesize_sensors(
+    robot: RobotParams,
+    state: SrbState,
+    forces: jnp.ndarray,   # (12,) world GRFs applied over the last step
+    key,
+    noise: SensorNoise,
+) -> RawSensors:
+    """Noisy IMU + encoder readings from the SRB state.
+
+    The accelerometer reports specific force: for the SRB,
+    a_world = sum(F)/m - g e_z, so the reading is R^T (a_world + g e_z)
+    = R^T sum(F)/m — exactly +g on the z axis at static stance.
+    """
+    R = lie.quat_to_rotmat(state.quat)
+    a_spec = R.T @ (forces.reshape(4, 3).sum(axis=0) / robot.mass)
+    truth = observe(robot, state)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    n = lambda k, shape, sig: sig * jax.random.normal(k, shape, jnp.float32)
+    return RawSensors(
+        quat=state.quat,
+        gyro=state.omega_body + n(k1, (3,), noise.gyro),
+        accel=a_spec + n(k2, (3,), noise.accel),
+        q=truth.q + n(k3, (12,), noise.encoder_q),
+        qdot=truth.qdot + n(k4, (12,), noise.encoder_qd),
+    )
+
+
 def init_state_on_terrain(robot: RobotParams, terrain: terrain_lib.Terrain) -> SrbState:
     """Nominal stance with feet settled on the local ground surface."""
     s = default_init_state(robot)
@@ -140,11 +201,18 @@ def physics_step(
     quat = lie.quat_integrate(state.quat, omega_body, dt)
 
     # Feet: pinned in stance (clamped to ground), target-following in swing.
+    # Swing feet can never penetrate the surface — flat world included
+    # (ground plane z = 0).  Without the clamp, a controller driven by an
+    # over-estimated height plants feet below ground each cycle, which a
+    # height-anchored estimator then re-levels, ratcheting the true base
+    # downward — physically impossible on real ground.
     if terrain is not None:
         ground = terrain_lib.height_at(terrain, swing_pos_world[:, :2])
-        swing_pos_world = swing_pos_world.at[:, 2].set(
-            jnp.maximum(swing_pos_world[:, 2], ground)
-        )
+    else:
+        ground = jnp.zeros((4,), jnp.float32)
+    swing_pos_world = swing_pos_world.at[:, 2].set(
+        jnp.maximum(swing_pos_world[:, 2], ground)
+    )
     new_feet = jnp.where(stance, state.foot_pos, swing_pos_world)
     new_foot_vel = jnp.where(stance, 0.0, (new_feet - state.foot_pos) / dt)
     return SrbState(
@@ -186,6 +254,9 @@ def rollout(
     solver: str = ctrl.DEFAULT_SOLVER,
     terrain: terrain_lib.Terrain | None = None,
     auto_reset: bool = True,
+    estimator: kf.KfParams | None = None,
+    sensor_noise: SensorNoise | None = None,
+    key=None,
 ):
     """Closed-loop batched rollout under ``lax.scan``.
 
@@ -196,6 +267,13 @@ def rollout(
     ``diverged`` flags; with ``auto_reset`` a diverged scenario snaps back to
     its initial state (controller carry included) instead of poisoning the
     remaining ticks.
+
+    With ``estimator`` the controller is driven by the two-stage Kalman
+    filter (BASELINE config 2) instead of ground truth: each tick
+    synthesizes noisy IMU/encoder readings (:func:`synthesize_sensors`),
+    runs :func:`pympc_quadruped_tpu.estimation.kf.update` gated by the gait
+    schedule's planned contacts, and feeds the controller the estimate.
+    Metrics then include per-tick estimator position/velocity errors.
     """
     B = jnp.shape(robot.mass)[0]
     if init_state is None:
@@ -204,10 +282,42 @@ def rollout(
         else:
             init_state = jax.vmap(default_init_state)(robot)
     carry0 = jax.vmap(lambda _: ctrl.init_carry(mpc.horizon))(jnp.arange(B))
+    use_kf = estimator is not None
+    if use_kf:
+        if sensor_noise is None:
+            sensor_noise = SensorNoise.default()
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        kf0 = jax.vmap(lambda s: kf.KfState.init(s.pos, s.foot_pos))(init_state)
+        # Standstill gravity support as the initial "held forces" so the
+        # first synthesized accelerometer tick reads ~+g, not free-fall.
+        w0 = robot.mass * mpc.gravity / 4.0
+        forces0 = jnp.zeros((B, 12), jnp.float32).at[:, 2::3].set(w0[:, None])
+        carry0 = (carry0, kf0, forces0)
 
     def tick_fn(carry, tick):
-        env_state, c_carry = carry
-        obs = jax.vmap(observe)(robot, env_state)
+        if use_kf:
+            env_state, (c_carry, kf_state, held_forces) = carry
+            sensors = jax.vmap(
+                lambda r, s, f, k: synthesize_sensors(r, s, f, k, sensor_noise)
+            )(
+                robot, env_state, held_forces,
+                jax.random.split(jax.random.fold_in(key, tick), B),
+            )
+            contact = jax.vmap(
+                lambda g: (gaitsched.swing_state(g, mpc, tick) == 0.0).astype(
+                    jnp.float32
+                )
+            )(gait)
+            kf_state = jax.vmap(
+                lambda st, r, sn, c: kf.update(
+                    st, r, sn.gyro, sn.accel, sn.q, sn.qdot, c, estimator
+                )
+            )(kf_state, robot, sensors, contact)
+            obs = jax.vmap(kf.to_obs)(kf_state, sensors.gyro, sensors.q, sensors.qdot)
+        else:
+            env_state, c_carry = carry
+            obs = jax.vmap(observe)(robot, env_state)
         c_carry, out = ctrl.step_batch(
             robot, mpc, gait, cmd, c_carry, obs, tick, solver=solver
         )
@@ -227,15 +337,22 @@ def rollout(
               swing_pos_world)
 
         bad = _diverged(env_state)
-        if auto_reset:
-            pick = lambda a, b: jax.tree.map(
-                lambda x, y: jnp.where(
-                    bad.reshape((B,) + (1,) * (x.ndim - 1)), x, y
-                ),
-                a, b,
-            )
-            env_state = pick(init_state, env_state)
-            c_carry = pick(carry0, c_carry)
+        pick = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(
+                bad.reshape((B,) + (1,) * (x.ndim - 1)), x, y
+            ),
+            a, b,
+        )
+        if use_kf:
+            new_carry = (c_carry, kf_state, out.contact_forces)
+            if auto_reset:
+                env_state = pick(init_state, env_state)
+                new_carry = pick(carry0, new_carry)
+        else:
+            new_carry = c_carry
+            if auto_reset:
+                env_state = pick(init_state, env_state)
+                new_carry = pick(carry0, new_carry)
 
         vel_des_world = jnp.einsum("bij,bj->bi", out.kin.R_base, cmd.vel_base_des)
         metrics = {
@@ -244,8 +361,19 @@ def rollout(
             "upright": out.kin.R_base[:, 2, 2],
             "diverged": bad,
         }
-        return (env_state, c_carry), metrics
+        if use_kf:
+            est = new_carry[1]
+            metrics["est_pos_err"] = jnp.linalg.norm(
+                est.x[:, 0:3] - env_state.pos, axis=-1
+            )
+            metrics["est_vel_err"] = jnp.linalg.norm(
+                est.x[:, 3:6] - env_state.vel, axis=-1
+            )
+        return (env_state, new_carry), metrics
 
     ticks = jnp.arange(num_ticks, dtype=jnp.int32)
-    (env_state, c_carry), metrics = jax.lax.scan(tick_fn, (init_state, carry0), ticks)
+    (env_state, final_carry), metrics = jax.lax.scan(
+        tick_fn, (init_state, carry0), ticks
+    )
+    c_carry = final_carry[0] if use_kf else final_carry
     return (env_state, c_carry), metrics

@@ -45,6 +45,9 @@ class KfParams:
     sigma_meas_vel: jnp.ndarray       # leg-odometry velocity measurement
     sigma_meas_height: jnp.ndarray    # stance foot height pseudo-measurement
     swing_noise_boost: jnp.ndarray    # multiplier applied to swing-foot rows
+    contact_height: jnp.ndarray       # assumed stance-foot height h_i (doc :104):
+                                      # 0 for the point-foot SRB env, the foot
+                                      # sphere radius (0.0255 m) for MuJoCo
 
     @staticmethod
     def default(dt: float = 0.001) -> "KfParams":
@@ -52,7 +55,7 @@ class KfParams:
         return KfParams(
             dt=f(dt),
             gravity=f(9.81),
-            k_cf=f(1.0),
+            k_cf=f(0.1),  # kappa_ref of the doc (ref state_estimation_kf.md:35)
             sigma_proc_pos=f(0.02),
             sigma_proc_vel=f(0.2),
             sigma_proc_foot_stance=f(0.002),
@@ -61,6 +64,7 @@ class KfParams:
             sigma_meas_vel=f(0.05),
             sigma_meas_height=f(0.005),
             swing_noise_boost=f(1.0e4),
+            contact_height=f(0.0),
         )
 
 
@@ -83,23 +87,35 @@ class KfState:
 def orientation_update(
     state: KfState, gyro: jnp.ndarray, accel: jnp.ndarray, params: KfParams
 ) -> jnp.ndarray:
-    """Complementary filter tick -> new quaternion (ref doc :15-37)."""
+    """Complementary filter tick -> new quaternion (ref doc :15-37).
+
+    The correction gain is modulated down during highly-dynamic phases where
+    the accelerometer reading departs from gravity (ref
+    ``doc/state_estimation_kf.md:33-35``):
+        kappa = k_cf * max(min(1, 1 - ||a - g|| / g), 0)
+    """
     R = lie.quat_to_rotmat(state.quat)
     # Gravity direction in body frame vs measured specific force.
     g_body = R.T @ jnp.array([0.0, 0.0, 1.0], jnp.float32)
-    a_norm = accel / jnp.maximum(jnp.linalg.norm(accel), 1e-6)
+    a_mag = jnp.linalg.norm(accel)
+    a_norm = accel / jnp.maximum(a_mag, 1e-6)
     e_tilt = jnp.cross(a_norm, g_body)
-    omega_corr = gyro + params.k_cf * e_tilt
+    kappa = params.k_cf * jnp.clip(
+        1.0 - jnp.abs(a_mag - params.gravity) / params.gravity, 0.0, 1.0
+    )
+    omega_corr = gyro + kappa * e_tilt
     return lie.quat_integrate(state.quat, omega_corr, params.dt)
 
 
 def _process(params: KfParams, quat, accel, x):
-    """A x + B u for the 18-state translation model."""
+    """A x + B u for the 18-state translation model (ref doc :55-75):
+    p' = p + v dt + 0.5 a dt^2,  v' = v + a dt,  feet constant, with
+    a = R a_meas + a_g the world-frame acceleration."""
     dt = params.dt
     R = lie.quat_to_rotmat(quat)
     acc_world = R @ accel - jnp.array([0.0, 0.0, params.gravity], jnp.float32)
     p, v, feet = x[0:3], x[3:6], x[6:]
-    p_new = p + dt * v
+    p_new = p + dt * v + 0.5 * dt * dt * acc_world
     v_new = v + dt * acc_world
     return jnp.concatenate([p_new, v_new, feet])
 
@@ -164,7 +180,7 @@ def update(
         z = z.at[r1 : r1 + 3].set(-rel_vel_world[leg])
         r2 = 24 + leg
         Hm = Hm.at[r2, 8 + 3 * leg].set(1.0)
-        z = z.at[r2].set(0.0)
+        z = z.at[r2].set(params.contact_height)
 
     boost = params.swing_noise_boost
     leg_boost = jnp.where(contact > 0.0, 1.0, boost)             # (4,)

@@ -140,7 +140,15 @@ def leg_inverse_kinematics(robot: RobotParams, p_base_feet: jnp.ndarray) -> jnp.
 
     u = r[:, 0]
     d_sq = u * u + w * w
-    cos_q3 = jnp.clip((d_sq - l2 * l2 - l3 * l3) / (2.0 * l2 * l3), -1.0, 1.0)
+    # Clip the knee short of full extension: cos(q3) <= cos(0.1) keeps the
+    # leg Jacobian invertible when a target is at/beyond reach (e.g. A1's
+    # 0.42 m height command vs its 0.40 m leg — the straight-knee singular
+    # pose would make the qdot synthesis in srb_env.observe blow up).  The
+    # physical calf joints never straighten anyway (upper range -0.65
+    # Aliengo / -0.92 A1, ref aliengo.urdf / a1.urdf calf limits).
+    cos_q3 = jnp.clip(
+        (d_sq - l2 * l2 - l3 * l3) / (2.0 * l2 * l3), -1.0, jnp.cos(0.1)
+    )
     q3 = -jnp.arccos(cos_q3)  # knee-flexed (calf angle negative, cf. nominal -1.6)
     s3, c3 = jnp.sin(q3), jnp.cos(q3)
     q2 = jnp.arctan2(-u, -w) - jnp.arctan2(l3 * s3, l2 + l3 * c3)

@@ -501,11 +501,19 @@ class OracleController:
             )
             X_ref = self._reference_traj(x_t, vel_des_world, yaw_rate)
             H, g = self._condensed_qp(x_t, kin.rpy[2], kin.pos_base_feet, X_ref)
-            U, kkt = solve_qp_kkt(
-                H, g, cfg.mu, self.robot.fz_max, table
-            )
-            self.last_kkt = kkt
-            self.forces = U[:12]
+            # Degrade gracefully on a failed solve (indefinite H from a wild
+            # estimated state, non-finite data): hold the previous GRFs —
+            # the engine-side fallback and the reference's implicit behavior
+            # (last solution stays applied, ref linear_mpc/mpc.py:99,108).
+            try:
+                U, kkt = solve_qp_kkt(
+                    H, g, cfg.mu, self.robot.fz_max, table
+                )
+                if np.all(np.isfinite(U)):
+                    self.last_kkt = kkt
+                    self.forces = U[:12]
+            except np.linalg.LinAlgError:
+                pass
         return self.forces
 
     # --- swing internals ----------------------------------------------

@@ -47,6 +47,24 @@ def test_a1_trot_e2e_oracle():
     assert res["mean_vx_last_2s"] > 0.7, res
 
 
+def test_aliengo_trot_kf_raw_sensors():
+    """BASELINE config 2 in the full-order sim: the trot driven purely by
+    IMU + encoders through the two-stage KF (no ground-truth state at all,
+    the realistic input mode the reference sketches at
+    ref ``scripts/mujoco_aliengo.py:101-118`` but never closes the loop on
+    — its estimator raises NotImplementedError)."""
+    res = run(controller="oracle", sensors="raw", seconds=2.0, verbose=False)
+    assert res["completed"], res
+    assert abs(res["mean_height_last_2s"] - 0.38) < 0.025, res
+    assert res["mean_vx_last_2s"] > 0.7, res
+
+
+def test_a1_trot_kf_raw_sensors():
+    res = run(controller="oracle", robot="a1", sensors="raw", seconds=2.0, verbose=False)
+    assert res["completed"], res
+    assert 0.3 < res["mean_height_last_2s"] < 0.43, res
+
+
 @pytest.mark.skipif(
     not os.environ.get("PYMPC_RUN_SLOW"),
     reason="JAX engine e2e is dispatch-bound on CPU (~5 min); set PYMPC_RUN_SLOW=1",
