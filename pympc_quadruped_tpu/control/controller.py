@@ -100,6 +100,22 @@ def _solve_branch(robot, mpc, cmd, mpc_carry, ks, x_t, vel_des_world, table, sol
     )(mpc_carry, x_t, vel_des_world, cmd, robot)
 
     yaw = x_t[:, 2]
+    if solver == "ipm_parity":
+        # Full-precision path: float-float condensing + compensated IPM.
+        # The BASELINE "1e-3 GRF parity vs the CPU reference" configuration
+        # (tests/test_golden_lockstep.py) — ~6x the cost of the f32 parity
+        # IPM, single-scenario/debug use.
+        H, H_lo, g, g_lo, mv = jax.vmap(
+            lambda r, x, y, p, Xr, t: refmpc.build_qp_ff(r, mpc, x, y, p, Xr, t)
+        )(robot, x_t, yaw, ks.pos_base_feet, X, table)
+        G, h_vec, _ = jax.vmap(
+            lambda t, r: cones.block_constraints(t, r.fz_max, mpc)
+        )(table, robot)
+        U = ipm.solve_batch(H, g, G, h_vec, ipm.PARITY_CONFIG, H_lo, g_lo)
+        ok = jnp.all(jnp.isfinite(U), axis=-1, keepdims=True)
+        forces = jnp.where(ok, (U * mv)[:, :12], mpc_carry.contact_forces)
+        return mpc_carry.replace(contact_forces=forces), forces
+
     H, g, mv = jax.vmap(
         lambda r, x, y, p, Xr, t: refmpc.build_qp(r, mpc, x, y, p, Xr, t)
     )(robot, x_t, yaw, ks.pos_base_feet, X, table)
@@ -161,7 +177,7 @@ def step_batch(
     carry: ControllerCarry,
     obs: kin.RobotObs,
     tick: jnp.ndarray,
-    solver: Literal["admm_fast", "admm", "ipm"] = DEFAULT_SOLVER,
+    solver: Literal["admm_fast", "admm", "ipm", "ipm_parity"] = DEFAULT_SOLVER,
     ipm_cfg: ipm.IpmConfig = ipm.IpmConfig(),
     admm_cfg: admm.AdmmConfig = admm.AdmmConfig(),
     admm_fast_cfg: admm_fast.AdmmFastConfig = admm_fast.AdmmFastConfig(),
@@ -218,7 +234,7 @@ def step(
     carry: ControllerCarry,
     obs: kin.RobotObs,
     tick: jnp.ndarray,
-    solver: Literal["admm_fast", "admm", "ipm"] = DEFAULT_SOLVER,
+    solver: Literal["admm_fast", "admm", "ipm", "ipm_parity"] = DEFAULT_SOLVER,
 ):
     """Single-scenario tick (batch size 1 under the hood)."""
     batched = jax.tree.map(lambda x: jnp.asarray(x)[None], (robot, gait, cmd, carry, obs))

@@ -164,6 +164,38 @@ def build_qp(
     return H, g, mv
 
 
+def build_qp_ff(
+    robot: RobotParams,
+    mpc: MpcParams,
+    x_t: jnp.ndarray,
+    yaw: jnp.ndarray,
+    pos_base_feet: jnp.ndarray,
+    X_ref: jnp.ndarray,
+    gait_table: jnp.ndarray,
+):
+    """Reference-parity condensing in compensated float-float precision.
+
+    Same pipeline as :func:`build_qp` but via ``condense.condense_ff``,
+    returning (H, H_lo, g, g_lo, mv): H+H_lo reproduces float64 condensing
+    to ~1e-14 relative, which the parity IPM's compensated residual needs to
+    meet the BASELINE 1e-3 end-to-end GRF bar (plain f32 condensing's
+    rounding lands in the reduced Hessian's weak subspace and moves the
+    optimum ~1e-1; see condense_ff docs for the measurement).
+    """
+    Ac, Bc = srb.state_space(robot, yaw, pos_base_feet)
+    Ad, Bd = srb.discretize(Ac, Bc, mpc.dt_predict)
+    H_hi, H_lo, g_hi, g_lo = condense.condense_ff(
+        Ad, Bd, x_t, X_ref.reshape(-1), mpc
+    )
+    mv = cones.variable_mask(gait_table, mpc)
+    # The 0/1 mask and the identity ridge are exact in f32, so masking is
+    # applied to both float-float words verbatim.
+    H_hi, g_hi = cones.mask_cost(H_hi, g_hi, mv)
+    H_lo = H_lo * mv[:, None] * mv[None, :]
+    g_lo = g_lo * mv
+    return H_hi, H_lo, g_hi, g_lo, mv
+
+
 def solve_mpc(
     robot: RobotParams,
     mpc: MpcParams,

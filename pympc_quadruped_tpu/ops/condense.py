@@ -94,3 +94,75 @@ def condense(Ad, Bd, x_t, X_ref, mpc: MpcParams):
     """Full condensing for one scenario; vmap over the leading axis to batch."""
     Sx, Su = rollout_matrices(Ad, Bd, mpc.horizon)
     return qp_cost(Sx, Su, x_t, X_ref, mpc)
+
+
+def condense_ff(Ad, Bd, x_t, X_ref, mpc: MpcParams):
+    """Float-float condensing for the reference-parity path.
+
+    Plain f32 condensing carries ~1e-7 relative rounding into H whose
+    *structure* lands in the reduced Hessian's weak subspace
+    (lambda_min ~ 2R = 4e-5, ref R = 1e-5) and moves the QP optimum ~1e-1 —
+    measured directly: swapping only the condensing to f64 (same f32 Ad/Bd)
+    drops the end-to-end GRF error vs the f64 oracle from 1.2e-1 to 2.5e-6.
+    This routine reproduces :func:`condense` in compensated float-float
+    arithmetic (ops/ffprec.py error-free transformations; effective
+    precision ~1e-14) so a TPU with no f64 ALU meets the BASELINE 1e-3 bar.
+
+    Returns (H_hi, H_lo, g_hi, g_lo); feed the lo parts to the parity IPM's
+    compensated-residual refinement.
+    """
+    from pympc_quadruped_tpu.ops import ffprec
+
+    h = mpc.horizon
+    ns, ni = NUM_STATE, NUM_INPUT
+    zmat = jnp.zeros((ns, ns), Ad.dtype)
+
+    # A-powers and M_k = Ad^k @ Bd in float-float.
+    def step(carry, _):
+        P_hi, P_lo = carry
+        P_hi, P_lo = ffprec.ff_matmul(P_hi, P_lo, Ad, jnp.zeros_like(Ad))
+        return (P_hi, P_lo), (P_hi, P_lo)
+
+    eye = jnp.eye(ns, dtype=Ad.dtype)
+    _, (pows_hi, pows_lo) = jax.lax.scan(
+        step, (eye, zmat), None, length=h
+    )                                                   # Ad^1..Ad^h
+    all_hi = jnp.concatenate([eye[None], pows_hi], axis=0)
+    all_lo = jnp.concatenate([zmat[None], pows_lo], axis=0)
+
+    Sx_hi = pows_hi.reshape(h * ns, ns)
+    Sx_lo = pows_lo.reshape(h * ns, ns)
+
+    M_hi, M_lo = jax.vmap(
+        lambda Ph, Pl: ffprec.ff_matmul(Ph, Pl, Bd, jnp.zeros_like(Bd))
+    )(all_hi[:h], all_lo[:h])                           # (h,13,12)
+
+    ii = jnp.arange(h)[:, None]
+    jj = jnp.arange(h)[None, :]
+    delta = jnp.clip(ii - jj, 0, h - 1)
+    keep = (ii >= jj)[:, :, None, None]
+    Su_hi = (M_hi[delta] * keep).transpose(0, 2, 1, 3).reshape(h * ns, h * ni)
+    Su_lo = (M_lo[delta] * keep).transpose(0, 2, 1, 3).reshape(h * ns, h * ni)
+
+    # H = 2 (Su^T Qbar Su + Rbar): Qbar-scaled rows via exact TwoProd.
+    q_bar = jnp.tile(mpc.q_diag, h)                     # (13h,) exact f32 data
+    QSu_hi, e = ffprec.two_prod(q_bar[:, None], Su_hi)
+    QSu_lo = e + q_bar[:, None] * Su_lo
+    Ht_hi, Ht_lo = ffprec.ff_matmul(Su_hi.T, Su_lo.T, QSu_hi, QSu_lo)
+    # Symmetrize exactly (0.5 is a power of two) and add the R ridge.
+    H_hi, H_lo = ffprec.ff_add(
+        0.5 * Ht_hi, 0.5 * Ht_lo, 0.5 * Ht_hi.T, 0.5 * Ht_lo.T
+    )
+    H_hi = 2.0 * H_hi
+    H_lo = 2.0 * H_lo
+    r_bar = jnp.tile(mpc.r_diag, h)
+    ridge = 2.0 * jnp.diag(r_bar)
+    H_hi, H_lo = ffprec.ff_add(H_hi, H_lo, ridge)
+
+    # g = 2 Su^T Qbar (Sx x_t - X_ref).
+    sx_hi, sx_lo = ffprec.ff_matvec(Sx_hi, x_t, A_lo=Sx_lo)
+    d_hi, d_lo = ffprec.ff_add(sx_hi, sx_lo, -X_ref)
+    qd_hi, e = ffprec.two_prod(q_bar, d_hi)
+    qd_lo = e + q_bar * d_lo
+    g_hi, g_lo = ffprec.ff_matvec(Su_hi.T, qd_hi, qd_lo, A_lo=Su_lo.T)
+    return H_hi, H_lo, 2.0 * g_hi, 2.0 * g_lo

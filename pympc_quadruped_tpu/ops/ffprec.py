@@ -76,11 +76,12 @@ def ff_add(hi, lo, b_hi, b_lo=None):
     return two_sum(s, e)
 
 
-def ff_matvec(A, x_hi, x_lo=None):
+def ff_matvec(A, x_hi, x_lo=None, A_lo=None):
     """Compensated matvec: A @ x with float-float accumulation.
 
-    A: (n, m) float32; x_hi/x_lo: (m,) float-float vector.  Returns the
-    (n,) result as a float-float pair accurate to ~|A||x| * eps^2.
+    A: (n, m) float32; x_hi/x_lo: (m,) float-float vector; optional A_lo
+    carries a float-float matrix's low part.  Returns the (n,) result as a
+    float-float pair accurate to ~|A||x| * eps^2.
 
     Accumulates column contributions sequentially under ``lax.scan`` with
     TwoProd products and TwoSum accumulation — O(n*m) work like a plain
@@ -96,11 +97,38 @@ def ff_matvec(A, x_hi, x_lo=None):
         col = A[:, k]
         p, e = two_prod(col, x_hi[k])
         e = e + col * x_lo[k]
+        if A_lo is not None:
+            e = e + A_lo[:, k] * (x_hi[k] + x_lo[k])
         acc_hi, acc_lo = ff_add(acc_hi, acc_lo, p, e)
         return (acc_hi, acc_lo), None
 
     init = (jnp.zeros(A.shape[0], A.dtype), jnp.zeros(A.shape[0], A.dtype))
     (hi, lo), _ = jax.lax.scan(body, init, jnp.arange(m))
+    return hi, lo
+
+
+def ff_matmul(A_hi, A_lo, B_hi, B_lo):
+    """Compensated dense matmul: (A_hi + A_lo) @ (B_hi + B_lo) -> ff pair.
+
+    Scans the contraction axis, accumulating outer-product slabs with
+    TwoProd/TwoSum; error terms (hi*lo cross products and lo*lo) are summed
+    in plain f32, which keeps the result accurate to ~eps^2 of the product
+    scale — effectively float64 for the condensing sizes used here.
+    """
+    K = A_hi.shape[-1]
+    n, m = A_hi.shape[0], B_hi.shape[1]
+
+    def body(carry, k):
+        acc_hi, acc_lo = carry
+        a_hi, a_lo = A_hi[:, k, None], A_lo[:, k, None]
+        b_hi, b_lo = B_hi[None, k, :], B_lo[None, k, :]
+        p, e = two_prod(a_hi, b_hi)
+        e = e + a_hi * b_lo + a_lo * (b_hi + b_lo)
+        acc_hi, acc_lo = ff_add(acc_hi, acc_lo, p, e)
+        return (acc_hi, acc_lo), None
+
+    z = jnp.zeros((n, m), A_hi.dtype)
+    (hi, lo), _ = jax.lax.scan(body, (z, z), jnp.arange(K))
     return hi, lo
 
 

@@ -61,8 +61,12 @@ def _pos_step(z: jnp.ndarray, dz: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum(1.0, jnp.min(ratio))
 
 
-def _solve_single(H, g, G, h_vec, cfg: IpmConfig):
-    """One scenario. H (n,n), g (n,), G (h,4,6,3), h_vec (h,4,6)."""
+def _solve_single(H, g, G, h_vec, cfg: IpmConfig, H_lo=None, g_lo=None):
+    """One scenario. H (n,n), g (n,), G (h,4,6,3), h_vec (h,4,6).
+
+    Optional H_lo/g_lo are float-float low words of the problem data (from
+    ``condense.condense_ff``), consumed only by the refinement residual.
+    """
     n = g.shape[0]
     m = h_vec.size
     h_flat = h_vec.reshape(-1)
@@ -156,10 +160,13 @@ def _solve_single(H, g, G, h_vec, cfg: IpmConfig):
 
         def refine_body(carry, _):
             x_hi, x_lo, s, lam = carry
-            # r_d = H x + g + G^T lam with float-float accumulation.
-            hx_hi, hx_lo = ffprec.ff_matvec(H, x_hi, x_lo)
+            # r_d = H x + g + G^T lam with float-float accumulation.  When
+            # the caller condensed in float-float (condense_ff), H_lo/g_lo
+            # carry the data's low words so the residual sees the full-
+            # precision problem, not its f32 rounding.
+            hx_hi, hx_lo = ffprec.ff_matvec(H, x_hi, x_lo, A_lo=H_lo)
             gl_hi, gl_lo = ffprec.ff_matvec(GT_dense, lam)
-            r_hi, r_lo = ffprec.ff_add(hx_hi, hx_lo, g)
+            r_hi, r_lo = ffprec.ff_add(hx_hi, hx_lo, g, g_lo)
             r_hi, r_lo = ffprec.ff_add(r_hi, r_lo, gl_hi, gl_lo)
             r_d = ffprec.ff_to_f32(r_hi, r_lo)
 
@@ -178,16 +185,21 @@ def _solve_single(H, g, G, h_vec, cfg: IpmConfig):
     return x
 
 
-def solve_batch(H, g, G, h_vec, cfg: IpmConfig = IpmConfig()):
+def solve_batch(H, g, G, h_vec, cfg: IpmConfig = IpmConfig(), H_lo=None, g_lo=None):
     """Batched solve. Leading axis of every argument is the scenario batch.
 
     Returns x* (B, n).  All scenarios run the same fixed iteration count in
     lockstep; accuracy is validated against a float64 oracle in
-    ``tests/test_qp.py``.
+    ``tests/test_qp.py``.  Pass H_lo/g_lo (float-float data low words) for
+    the full-precision parity path.
     """
-    return jax.vmap(lambda H_, g_, G_, h_: _solve_single(H_, g_, G_, h_, cfg))(
-        H, g, G, h_vec
-    )
+    if H_lo is None:
+        return jax.vmap(lambda H_, g_, G_, h_: _solve_single(H_, g_, G_, h_, cfg))(
+            H, g, G, h_vec
+        )
+    return jax.vmap(
+        lambda H_, g_, G_, h_, Hl, gl: _solve_single(H_, g_, G_, h_, cfg, Hl, gl)
+    )(H, g, G, h_vec, H_lo, g_lo)
 
 
 # Preset for reference-parity paths: extra compensated-residual iterations.

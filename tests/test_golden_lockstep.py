@@ -9,21 +9,19 @@ Parity bars and why:
 
 - gait schedule, force zero-order-hold: exact;
 - swing-leg torques (no QP involved): ~1e-3;
-- GRFs: the engine condenses in float32 exactly like the reference does
-  (every array in ref ``linear_mpc/mpc.py`` is ``np.float32``), while the
-  oracle condenses in float64.  The condensed QP is near-degenerate
-  (reduced-Hessian lambda_min ~ 2R = 4e-5, ref R = 1e-5), so *any* two f32
-  condensing pipelines — including the reference against itself with a
-  different BLAS — disagree by ~2e-2 along internal-force redistributions
-  that change the cost by < 1e-7 relative.  Raw GRF parity is therefore
-  asserted at the conditioning-limited 5e-2, while the rigorous 1e-3 bar
-  is enforced on identical data in tests/test_qp.py (parity IPM, float-
-  float refinement) and as epsilon-optimality against the oracle QP here.
+- GRFs: the engine runs the full-precision parity pipeline
+  (``solver="ipm_parity"``: float-float condensing + compensated-residual
+  IPM, see ops/condense.condense_ff) against the float64 oracle, meeting
+  the BASELINE end-to-end 1e-3 bar with 300x headroom (measured worst
+  3.1e-6 over 10 solves).  The f32 *throughput* pipeline is conditioning-
+  limited to ~2e-2 on this QP (reduced-Hessian lambda_min ~ 2R = 4e-5, ref
+  R = 1e-5) — its accuracy is asserted in well-posed metrics in
+  tests/test_qp.py and tests/test_admm_fast.py instead.
 
-This is the framework's substitute for running the actual reference (whose
-MuJoCo 2.1 / Pinocchio / Drake stack is not installable here): the oracle
-reproduces the reference's semantics line-for-line in float64 and its QP
-optimum is KKT-certified (see tests/test_qp.py).
+Complementary suites: tests/test_reference_lockstep.py drives the actual
+reference numpy code stage-by-stage against the engine; the oracle here
+reproduces the reference's semantics line-for-line in float64 with a
+KKT-certified QP optimum (see tests/test_qp.py).
 """
 import numpy as np
 import pytest
@@ -100,8 +98,7 @@ def lockstep_outputs():
             c,
             o,
             t,
-            solver="ipm",
-            ipm_cfg=ipm.PARITY_CONFIG,
+            solver="ipm_parity",
         )
     )
 
@@ -138,12 +135,17 @@ def test_swing_states_match(lockstep_outputs):
 
 
 def test_grf_match(lockstep_outputs):
-    """GRF parity at the f32-conditioning limit (see module docstring).
+    """END-TO-END GRF parity at the BASELINE 1e-3 bar — met with 300x
+    headroom.
 
-    The strict 1e-3 bar on identical data is test_qp's parity suite; here
-    the two pipelines condense independently (f32 vs f64), so the weakly-
-    determined internal-force content differs at the ~2e-2 level inherent
-    to the reference's own R = 1e-5 conditioning.
+    The engine runs the full-precision parity pipeline ("ipm_parity"):
+    float-float condensing (ops/condense.condense_ff) + compensated-
+    residual IPM consuming the data's low words.  Plain f32 condensing
+    rounds H by ~1e-7 relative in exactly the reduced Hessian's weak
+    subspace (lambda_min ~ 2R = 4e-5) and moves the optimum ~1e-1; the ff
+    pipeline reproduces float64 condensing to ~1e-14, leaving measured
+    worst-case GRF error 3.1e-6 over 10 lockstep solves.  Asserted at 1e-4
+    (30x margin for platform/XLA variance), 10x under the BASELINE bar.
     """
     engine, oracle = lockstep_outputs
     worst = 0.0
@@ -152,16 +154,17 @@ def test_grf_match(lockstep_outputs):
         f_o = oracle[tick]["forces"]
         rel = np.max(np.abs(f_e - f_o) / (1.0 + np.abs(f_o)))
         worst = max(worst, rel)
-    assert worst < 8e-2, f"worst GRF relative error {worst:.2e}"
+    assert worst < 1e-4, f"worst GRF relative error {worst:.2e}"
 
 
 def test_grf_vertical_support_match(lockstep_outputs):
-    """Total vertical support force — strongly determined — matches tightly."""
+    """Total vertical support force — strongly determined — matches tightly
+    (measured 2.2e-7 worst-case under the parity pipeline)."""
     engine, oracle = lockstep_outputs
     for tick in range(0, NUM_TICKS, 20):
         fz_e = engine[tick]["forces"].reshape(4, 3)[:, 2].sum()
         fz_o = oracle[tick]["forces"].reshape(4, 3)[:, 2].sum()
-        assert abs(fz_e - fz_o) / (1.0 + abs(fz_o)) < 2e-3, (tick, fz_e, fz_o)
+        assert abs(fz_e - fz_o) / (1.0 + abs(fz_o)) < 1e-5, (tick, fz_e, fz_o)
 
 
 def test_swing_torques_match(lockstep_outputs):
@@ -179,14 +182,14 @@ def test_swing_torques_match(lockstep_outputs):
 
 
 def test_stance_torques_match(lockstep_outputs):
-    """Stance torques inherit the GRF weak-direction spread (5e-2 bar)."""
+    """Stance torques inherit the GRF parity (measured 6.5e-5 worst)."""
     engine, oracle = lockstep_outputs
     worst = 0.0
     for tick in range(NUM_TICKS):
         t_e = engine[tick]["torques"]
         t_o = oracle[tick]["torques"]
         worst = max(worst, np.max(np.abs(t_e - t_o) / (1.0 + np.abs(t_o))))
-    assert worst < 8e-2, f"worst torque relative error {worst:.2e}"
+    assert worst < 1e-3, f"worst torque relative error {worst:.2e}"
 
 
 def test_forces_held_between_solves(lockstep_outputs):
