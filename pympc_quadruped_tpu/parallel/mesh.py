@@ -39,6 +39,32 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_global_batch(tree, mesh: Mesh):
+    """Multi-host-safe :func:`shard_batch`: every process passes the SAME
+    host-side global-batch pytree; each contributes the rows its devices
+    own.  Single-process it is equivalent to :func:`shard_batch`.
+
+    (``device_put`` of a full host array onto a sharding spanning other
+    processes' devices is invalid under ``jax.distributed`` — hosts can only
+    populate their addressable shards.)
+    """
+    sharding = NamedSharding(mesh, P("data"))
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return shard_batch(tree, mesh)
+    pid = jax.process_index()
+
+    def put(x):
+        x = np.asarray(x)
+        if x.shape[0] % n_proc:
+            raise ValueError(f"batch {x.shape[0]} not divisible by {n_proc} hosts")
+        chunk = x.shape[0] // n_proc
+        local = x[pid * chunk : (pid + 1) * chunk]
+        return jax.make_array_from_process_local_data(sharding, local, x.shape)
+
+    return jax.tree.map(put, tree)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
