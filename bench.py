@@ -10,8 +10,18 @@ a scenario batch, end-to-end on device, and prints ONE JSON line:
 
 ``vs_baseline`` normalizes against this chip's pro-rata share of the
 BASELINE.json target (>=100k solves/s on v5p-16 == 8 chips -> 12.5k per
-chip); >1.0 beats the target.  Extra diagnostic fields (p50/p99 solve
-latency vs the 20 ms real-time budget, per-solver numbers) ride along.
+chip); >1.0 beats the target.  Extra diagnostic fields ride along:
+
+- ``latency_curve`` p50/p99 vs batch and ``max_realtime_batch`` — the
+  largest batch meeting the 20 ms p99 real-time budget (BASELINE) — plus
+  the throughput at that operating point;
+- ``stage_ms`` setup (condense + Ruiz + Schur inverse) vs iteration
+  (Pallas VMEM kernel) split at the headline batch — the roofline view;
+- ``pallas_parity_ok`` — the Pallas kernel's solution checked against the
+  pure-jnp iteration ON THIS DEVICE before any timing is reported;
+- ``full_tick`` — closed-loop controller+SRB-physics ticks/s over a
+  20-tick (one solve period) scan, the in-loop number the production
+  sweep actually runs at.
 """
 import argparse
 import json
@@ -25,6 +35,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 import numpy as np
+
+REALTIME_BUDGET_MS = 20.0
 
 
 def build_inputs(batch, horizon, seed=0):
@@ -80,32 +92,157 @@ def build_inputs(batch, horizon, seed=0):
     )
 
 
-def bench_solver(solver, batch, horizon, iters=20):
+def _time(fn, args, iters):
+    out = fn(*args)
     import jax
-    from pympc_quadruped_tpu import engine
-
-    robot, mpc, x_t, yaw, feet, X_ref, tables = build_inputs(batch, horizon)
-
-    fn = jax.jit(
-        lambda x, y, f, Xr, t: engine.solve_scenarios(
-            robot, mpc, x, y, f, Xr, t, solver=solver
-        )
-    )
-    out = fn(x_t, yaw, feet, X_ref, tables)
-    out.block_until_ready()  # compile
-
+    jax.block_until_ready(out)  # compile
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(x_t, yaw, feet, X_ref, tables)
-        out.block_until_ready()
+        out = fn(*args)
+        jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     times = np.array(times)
     return {
         "p50_s": float(np.percentile(times, 50)),
         "p99_s": float(np.percentile(times, 99)),
         "min_s": float(times.min()),
-        "solves_per_s": batch / float(np.percentile(times, 50)),
+    }
+
+
+def bench_solver(solver, batch, horizon, iters=20):
+    import jax
+    from pympc_quadruped_tpu import engine
+
+    robot, mpc, x_t, yaw, feet, X_ref, tables = build_inputs(batch, horizon)
+    fn = jax.jit(
+        lambda x, y, f, Xr, t: engine.solve_scenarios(
+            robot, mpc, x, y, f, Xr, t, solver=solver
+        )
+    )
+    r = _time(fn, (x_t, yaw, feet, X_ref, tables), iters)
+    r["solves_per_s"] = batch / r["p50_s"]
+    return r
+
+
+def bench_stages(batch, horizon, iters=10):
+    """Setup (build QP + Ruiz + Schur inverse) vs Pallas iteration split."""
+    import jax
+    from pympc_quadruped_tpu.control import refmpc
+    from pympc_quadruped_tpu.ops.qp import admm_fast
+
+    robot, mpc, x_t, yaw, feet, X_ref, tables = build_inputs(batch, horizon)
+    cfg = admm_fast.AdmmFastConfig()
+    P0 = admm_fast.cone_pattern(float(mpc.friction_coef), mpc.horizon)
+
+    @jax.jit
+    def build(x, y, f, Xr, t):
+        H, g, mv = jax.vmap(
+            lambda xi, yi, fi, Xi, ti: refmpc.build_qp(robot, mpc, xi, yi, fi, Xi, ti)
+        )(x, y, f, Xr, t)
+        return H, g, mv
+
+    H, g, mv = build(x_t, yaw, feet, X_ref, tables)
+    setup = jax.jit(lambda H_, g_, t_: admm_fast.setup(H_, g_, t_, robot.fz_max, mpc, cfg))
+    ops = setup(H, g, tables)
+    if jax.default_backend() == "tpu":
+        from pympc_quadruped_tpu.ops.qp import admm_pallas
+
+        iterate = jax.jit(lambda o: admm_pallas.iterate(o, P0, cfg))
+    else:
+        iterate = jax.jit(lambda o: admm_fast.iterate_jnp(o, P0, cfg))
+    t_build = _time(build, (x_t, yaw, feet, X_ref, tables), iters)
+    t_setup = _time(setup, (H, g, tables), iters)
+    t_iter = _time(iterate, (ops,), iters)
+    return {
+        "build_qp_ms": round(t_build["p50_s"] * 1e3, 3),
+        "setup_ms": round(t_setup["p50_s"] * 1e3, 3),
+        "iterate_ms": round(t_iter["p50_s"] * 1e3, 3),
+    }
+
+
+def pallas_parity(batch=256, horizon=10):
+    """Pallas vs pure-jnp iteration on THIS device: fz agreement + finiteness."""
+    import jax
+    import jax.numpy as jnp
+    from pympc_quadruped_tpu.ops.qp import admm_fast
+
+    if jax.default_backend() != "tpu":
+        return {"pallas_parity_ok": None, "note": "not a TPU backend"}
+    from pympc_quadruped_tpu.control import refmpc
+
+    robot, mpc, x_t, yaw, feet, X_ref, tables = build_inputs(batch, horizon, seed=3)
+    H, g, mv = jax.vmap(
+        lambda xi, yi, fi, Xi, ti: refmpc.build_qp(robot, mpc, xi, yi, fi, Xi, ti)
+    )(x_t, yaw, feet, X_ref, tables)
+    U_p = np.asarray(
+        admm_fast.solve_batch(H, g, tables, robot.fz_max, mpc, backend="pallas") * mv
+    )
+    U_j = np.asarray(
+        admm_fast.solve_batch(H, g, tables, robot.fz_max, mpc, backend="jnp") * mv
+    )
+    finite = bool(np.all(np.isfinite(U_p)))
+    fz_p = U_p[:, 2::3].sum(-1)
+    fz_j = U_j[:, 2::3].sum(-1)
+    fz_err = float(np.max(np.abs(fz_p - fz_j) / (1.0 + np.abs(fz_j))))
+    el_err = float(np.max(np.abs(U_p - U_j)))
+    return {
+        "pallas_parity_ok": bool(finite and fz_err < 1e-3 and el_err < 0.5),
+        "pallas_fz_rel_err": round(fz_err, 8),
+        "pallas_elementwise_err_N": round(el_err, 5),
+    }
+
+
+def bench_full_tick(batch=1024, horizon=10, iters=5):
+    """Closed-loop controller + SRB physics: ticks/s over one solve period."""
+    import jax
+    import jax.numpy as jnp
+    from pympc_quadruped_tpu.models.command import Command
+    from pympc_quadruped_tpu.models.gaits import Gaits
+    from pympc_quadruped_tpu.models.mpc import MpcParams
+    from pympc_quadruped_tpu.models.robots import aliengo
+    from pympc_quadruped_tpu.control import controller as ctrl
+    from pympc_quadruped_tpu.env import srb_env
+
+    mpc = MpcParams(horizon=horizon)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + jnp.shape(x)), t
+    )
+    robot, gait, cmd = tile(aliengo()), tile(Gaits.trotting10()), tile(
+        Command.trot_forward(1.2)
+    )
+    state0 = jax.vmap(srb_env.default_init_state)(robot)
+    carry0 = jax.vmap(lambda _: ctrl.init_carry(horizon))(jnp.arange(batch))
+    period = int(mpc.iterations_between_mpc)
+
+    @jax.jit
+    def run_period(state, carry, tick0):
+        def tick_fn(c, k):
+            env_state, c_carry = c
+            obs = jax.vmap(srb_env.observe)(robot, env_state)
+            c_carry, out = ctrl.step_batch(
+                robot, mpc, gait, cmd, c_carry, obs, tick0 + k
+            )
+            swing_pos_world = env_state.pos[:, None, :] + jnp.einsum(
+                "bij,blj->bli", out.kin.R_base, out.pos_targets
+            )
+            env_state = jax.vmap(
+                lambda r, s, f, ss, sp: srb_env.physics_step(r, mpc, s, f, ss, sp)
+            )(robot, env_state, out.contact_forces, out.swing_states, swing_pos_world)
+            return (env_state, c_carry), None
+
+        (state, carry), _ = jax.lax.scan(
+            tick_fn, (state, carry), jnp.arange(period, dtype=jnp.int32)
+        )
+        return state, carry
+
+    r = _time(run_period, (state0, carry0, jnp.int32(0)), iters)
+    return {
+        "batch": batch,
+        "period_ticks": period,
+        "ticks_per_s": round(batch * period / r["p50_s"], 1),
+        "in_loop_solves_per_s": round(batch / r["p50_s"], 1),
+        "period_p50_ms": round(r["p50_s"] * 1e3, 3),
     }
 
 
@@ -114,15 +251,16 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--horizon", type=int, default=10)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--quick", action="store_true", help="headline only")
     args = ap.parse_args()
 
     import jax
 
     dev = jax.devices()[0]
     results = {}
-    for solver in ("admm", "ipm"):
+    for solver, iters in (("admm", args.iters), ("ipm", max(3, args.iters // 4))):
         try:
-            results[solver] = bench_solver(solver, args.batch, args.horizon, args.iters)
+            results[solver] = bench_solver(solver, args.batch, args.horizon, iters)
         except Exception as e:  # pragma: no cover - report partial results
             results[solver] = {"error": str(e)[:200]}
 
@@ -150,13 +288,51 @@ def main():
         "horizon": args.horizon,
         "p50_latency_ms": round(best["p50_s"] * 1e3, 3),
         "p99_latency_ms": round(best["p99_s"] * 1e3, 3),
-        "realtime_budget_ms": 20.0,
+        "realtime_budget_ms": REALTIME_BUDGET_MS,
         "device": str(dev),
         "all_solvers": {
             k: ({kk: round(vv, 4) if isinstance(vv, float) else vv for kk, vv in v.items()})
             for k, v in results.items()
         },
     }
+
+    if not args.quick:
+        # Latency-vs-batch curve and the real-time operating point.
+        curve = {}
+        max_rt_batch, max_rt_rate = 0, 0.0
+        for b in (64, 128, 256, 512, 1024, 2048, 4096):
+            if b > args.batch:
+                break
+            try:
+                r = bench_solver("admm", b, args.horizon, max(5, args.iters // 2))
+            except Exception as e:
+                curve[str(b)] = {"error": str(e)[:120]}
+                continue
+            curve[str(b)] = {
+                "p50_ms": round(r["p50_s"] * 1e3, 3),
+                "p99_ms": round(r["p99_s"] * 1e3, 3),
+                "solves_per_s": round(r["solves_per_s"], 1),
+            }
+            if r["p99_s"] * 1e3 < REALTIME_BUDGET_MS and b > max_rt_batch:
+                max_rt_batch, max_rt_rate = b, r["solves_per_s"]
+        record["latency_curve"] = curve
+        record["max_realtime_batch"] = max_rt_batch
+        record["realtime_solves_per_s"] = round(max_rt_rate, 1)
+
+        try:
+            record["stage_ms"] = bench_stages(args.batch, args.horizon)
+        except Exception as e:
+            record["stage_ms"] = {"error": str(e)[:200]}
+        try:
+            record.update(pallas_parity())
+        except Exception as e:
+            record["pallas_parity_ok"] = False
+            record["pallas_error"] = str(e)[:200]
+        try:
+            record["full_tick"] = bench_full_tick(min(1024, args.batch), args.horizon)
+        except Exception as e:
+            record["full_tick"] = {"error": str(e)[:200]}
+
     print(json.dumps(record))
 
 
