@@ -41,7 +41,7 @@ def qp_residuals(
     """
     B = U.shape[0]
     h = mpc.horizon
-    P0 = admm_fast.cone_pattern(float(mpc.friction_coef), h)
+    P0 = admm_fast.cone_pattern(mpc.friction_coef, h)  # tracer-safe
     srow, l, u = admm_fast.row_bounds(gait_table, fz_max, h)
     z = (U @ P0.T) * srow
     primal = jnp.maximum(jnp.max(l - z, axis=-1), jnp.max(
