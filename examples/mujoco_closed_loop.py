@@ -138,7 +138,7 @@ def make_kf_estimator(robot_name, init_pos):
     return estimate
 
 
-def make_oracle_controller(horizon, robot_name="aliengo", vx=1.2):
+def make_oracle_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0):
     from pympc_quadruped_tpu.oracle import npref
 
     params = (
@@ -151,13 +151,13 @@ def make_oracle_controller(horizon, robot_name="aliengo", vx=1.2):
     )
 
     def step(obs, tick):
-        out = ctrl.step(obs, [vx, 0.0, 0.0], 0.0, tick)
+        out = ctrl.step(obs, [vx, 0.0, 0.0], yaw_rate, tick)
         return out["torques"], out["forces"]
 
     return step
 
 
-def make_jax_controller(horizon, robot_name="aliengo", vx=1.2):
+def make_jax_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0):
     import jax
     import jax.numpy as jnp
     from pympc_quadruped_tpu.models.command import Command
@@ -170,9 +170,8 @@ def make_jax_controller(horizon, robot_name="aliengo", vx=1.2):
     mpc = MpcParams(horizon=horizon)
     tile = lambda t: jax.tree.map(lambda x: jnp.asarray(x)[None], t)
     params = aliengo() if robot_name == "aliengo" else a1()
-    robot, gait, cmd = tile(params), tile(Gaits.trotting10()), tile(
-        Command.trot_forward(vx)
-    )
+    command = Command.trot_forward(vx).replace(yaw_turn_rate=jnp.float32(yaw_rate))
+    robot, gait, cmd = tile(params), tile(Gaits.trotting10()), tile(command)
     carry = tile(ctl.init_carry(mpc.horizon))
     step_fn = jax.jit(
         lambda c, o, t: ctl.step_batch(robot, mpc, gait, cmd, c, o, t)
@@ -195,7 +194,7 @@ def make_jax_controller(horizon, robot_name="aliengo", vx=1.2):
 
 
 def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
-        robot="aliengo", vx=None, xml=None, sensors="truth"):
+        robot="aliengo", vx=None, xml=None, sensors="truth", yaw_rate=0.0):
     from pympc_quadruped_tpu.env import mjcf
 
     if vx is None:
@@ -212,9 +211,9 @@ def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
     mujoco.mj_step(model, data)  # settle one step, like the reference (ref :167)
 
     step_fn = (
-        make_oracle_controller(horizon, robot, vx)
+        make_oracle_controller(horizon, robot, vx, yaw_rate)
         if controller == "oracle"
-        else make_jax_controller(horizon, robot, vx)
+        else make_jax_controller(horizon, robot, vx, yaw_rate)
     )
     estimator = None
     if sensors == "raw":
@@ -254,9 +253,13 @@ def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
     pos = np.array(log["pos"])
     vel = np.array(log["vel"])
     n = len(pos)
+    qw, qx, qy, qz = data.qpos[3:7]
+    final_yaw = np.arctan2(2 * (qw * qz + qx * qy), 1 - 2 * (qy * qy + qz * qz))
     result = {
         "completed": n == n_ticks,
         "final_x": float(pos[-1, 0]),
+        "final_y": float(pos[-1, 1]),
+        "final_yaw": float(final_yaw),
         "mean_vx_last_2s": float(vel[-2000:, 0].mean()) if n > 2000 else float(vel[:, 0].mean()),
         "mean_height_last_2s": float(pos[-2000:, 2].mean()) if n > 2000 else float(pos[:, 2].mean()),
         "wall_s": wall,
@@ -287,6 +290,7 @@ if __name__ == "__main__":
     ap.add_argument("--record", default=None)
     ap.add_argument("--robot", choices=["aliengo", "a1"], default="aliengo")
     ap.add_argument("--vx", type=float, default=None)
+    ap.add_argument("--yaw-rate", type=float, default=0.0, dest="yaw_rate")
     ap.add_argument("--xml", default=None, help="external MJCF instead of generated")
     ap.add_argument(
         "--sensors", choices=["truth", "raw"], default="truth",
@@ -294,4 +298,5 @@ if __name__ == "__main__":
     )
     args = ap.parse_args()
     run(args.controller, args.seconds, args.horizon, args.record,
-        robot=args.robot, vx=args.vx, xml=args.xml, sensors=args.sensors)
+        robot=args.robot, vx=args.vx, xml=args.xml, sensors=args.sensors,
+        yaw_rate=args.yaw_rate)

@@ -47,6 +47,17 @@ def test_a1_trot_e2e_oracle():
     assert res["mean_vx_last_2s"] > 0.7, res
 
 
+def test_aliengo_turning_trot():
+    """Yaw-rate command path end-to-end: the yaw integrator, the yaw-rate
+    reference row and the centripetal foothold term together turn the robot
+    (ref mpc.py:92, swing_foot_trajectory_generator.py:111-119)."""
+    res = run(controller="oracle", vx=0.6, yaw_rate=0.5, seconds=3.0, verbose=False)
+    assert res["completed"], res
+    assert res["final_yaw"] > 0.5, res       # turned left
+    assert res["final_y"] > 0.2, res         # path curved left
+    assert abs(res["mean_height_last_2s"] - 0.38) < 0.02, res
+
+
 def test_aliengo_trot_kf_raw_sensors():
     """BASELINE config 2 in the full-order sim: the trot driven purely by
     IMU + encoders through the two-stage KF (no ground-truth state at all,
