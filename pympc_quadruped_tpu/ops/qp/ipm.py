@@ -24,6 +24,19 @@ interior-point method designed for TPU lockstep batching:
   with a float64 oracle on identical data.  Throughput paths leave it off;
   single-scenario reference-parity paths turn it on.
 
+Role note — why the per-iteration Cholesky stays, and why this solver is
+not the production default: a matmul-only KKT solve (the blocked Schur
+inverse from :mod:`admm_fast` + iterative refinement) was measured on the
+trot QP family and rejected.  The barrier matrix M = H + G^T D G spans
+kappa ~ d_max even after Jacobi scaling, the f32 Schur inverse lands at
+~1e-1 relative residual there, refinement contracts by that same factor per
+step and stalls: cost gap ~2e-4 of scale vs ~1e-8 for Cholesky (6 refinement
+steps, NS=2, measured 4 gait phases).  The fast ADMM beats this IPM on BOTH
+throughput and cost gap, so every closed-loop/throughput surface defaults to
+``admm_fast``; this solver is the accuracy/parity path (with float-float
+refinement) and an independent algorithmic cross-check, where the Cholesky's
+sequential-scalar cost is acceptable.
+
 Solves:  min 1/2 x^T H x + g^T x   s.t.  G x <= h     (per-block structure)
 
 Newton systems use the standard slack elimination:
