@@ -216,7 +216,7 @@ def build_mjcf(robot: RobotParams, spec: MjcfSpec) -> str:
     <camera name="track" mode="trackcom" pos="0 -2.3 1.6" xyaxes="1 0 0 0 0.707 0.707"/>
     <body name="trunk" pos="0 0 {h0 + 0.22:.6g}">
       <inertial pos="{_fmt(ti.com)}" mass="{ti.mass:.6g}" diaginertia="{_fmt(ti.diag)}"/>
-      <joint type="free"/>
+      <joint type="free" armature="0" damping="0"/>
       <geom type="box" size="{_fmt(spec.trunk_box)}" rgba="0.2 0.2 0.2 1"/>
       <site name="imu" pos="0 0 0"/>
       {legs}
