@@ -24,6 +24,15 @@ viscous tangential force clamped to the friction cone (the classic penalty
 model PhysX/MuJoCo regularized solvers approximate).  Gains are set for
 stability at dt = 1 ms given the light foot links (the reflected knee
 armature dominates the foot-point effective mass).
+
+Robot support status: Aliengo trots stably (tests/test_rbd.py).  A1 runs
+but is marginal here: the reference's A1 config asks for an unreachable
+0.42 m standing height on 0.2+0.2 m legs (ref robot_configs.py:42) and uses
+700-gain swing PD, which drives the knees to full extension; the implicit
+constraint solver in the MuJoCo oracle absorbs the singular transients
+(tests/test_mujoco_e2e.py::test_a1_trot_e2e_oracle passes) but the explicit
+penalty model amplifies them.  Use the MuJoCo harness for A1 full-order
+studies, or command a reachable height.
 """
 from __future__ import annotations
 
@@ -95,7 +104,19 @@ def rbd_model(robot: RobotParams, spec) -> rbd.RbdModel:
 
 
 class ContactParams(struct.PyTreeNode):
-    """Penalty-contact gains (stable at dt=1ms with the light foot links)."""
+    """Penalty-contact gains + actuation/contact saturations.
+
+    The saturations are what keep the explicit dt=1ms integrator stable
+    through rough events (falls, near-singular leg extension): MuJoCo's
+    implicit constraint solver absorbs those implicitly, a penalty model
+    must cap them.  ``fn_max`` mirrors the MPC's own per-foot bound fz_max.
+    ``tau_max`` models motor saturation; it defaults HIGH (1 kN*m, i.e.
+    effectively unclamped) because the reference applies unclamped torques
+    in both of its simulators (ref mujoco_aliengo.py:225, isaacgym_a1.py:162)
+    and hardware-level clamping (Aliengo peaks at ~44 N*m) measurably
+    changes the closed loop — set it to the real limit for actuator-
+    saturation studies.
+    """
 
     kn: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(2.0e4))
     cn: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(150.0))
@@ -104,6 +125,8 @@ class ContactParams(struct.PyTreeNode):
     foot_radius: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.float32(0.0255)
     )
+    tau_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1000.0))
+    fn_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(500.0))
 
 
 @struct.dataclass
@@ -118,11 +141,18 @@ class FullOrderState:
 
 def default_init_state(robot: RobotParams) -> FullOrderState:
     """Nominal stance (q = (0, 0.8, -1.6) x 4, ref mujoco_aliengo.py:32-39)
-    with the foot spheres resting exactly on the ground."""
+    with the foot spheres resting exactly on the ground.
+
+    The base height comes from the stance FK, not ``base_height_des`` —
+    they differ when the desired height is not reachable in the nominal
+    stance (the reference's A1 desires 0.42 m on 0.2+0.2 m legs,
+    ref robot_configs.py:42); starting feet-on-ground lets the controller
+    settle to whatever height it can actually track.
+    """
     q0 = jnp.tile(jnp.array([0.0, 0.8, -1.6], jnp.float32), 4)
-    # Feet centers sit at z = touchdown_z (~ -r) below the nominal base
-    # height, so base z = height + r puts the spheres on the plane.
-    z0 = robot.base_height_des - robot.touchdown_z
+    p_bf, _ = kin.leg_forward_kinematics(robot, q0.reshape(4, 3))
+    # Lowest foot center at one sphere radius (-touchdown_z) above ground.
+    z0 = -jnp.min(p_bf[:, 2]) - robot.touchdown_z
     return FullOrderState(
         pos=jnp.array([0.0, 0.0, 1.0], jnp.float32) * z0,
         quat=jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32),
@@ -160,7 +190,7 @@ def contact_forces(
     pen = jnp.maximum(-phi, 0.0)
     in_contact = (pen > 0.0).astype(p_feet.dtype)
     fn = jnp.maximum(cp.kn * pen - cp.cn * v_feet[:, 2] * in_contact, 0.0)
-    fn = fn * in_contact
+    fn = jnp.minimum(fn * in_contact, cp.fn_max)
     ft = -cp.kt * v_feet[:, :2] * in_contact[:, None]
     ft_norm = jnp.linalg.norm(ft, axis=-1, keepdims=True)
     cap = cp.mu * fn[:, None]
@@ -179,6 +209,7 @@ def physics_step(
     """One semi-implicit Euler step of the torque-driven articulated tree."""
     p_feet, v_feet, R = foot_kinematics(robot, state)
     f_feet = contact_forces(cp, p_feet, v_feet)
+    tau = jnp.clip(tau, -cp.tau_max, cp.tau_max)
     du = rbd.forward_dynamics(model, state.q, state.u, R, tau, f_feet)
     u_new = state.u + dt * du
     q_new = state.q + dt * u_new[6:]
