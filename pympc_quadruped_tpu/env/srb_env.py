@@ -244,6 +244,31 @@ def _diverged(state: SrbState) -> jnp.ndarray:
     return ~(finite & plausible)
 
 
+def init_full_carry(
+    robot: RobotParams,
+    mpc: MpcParams,
+    init_state: SrbState,
+    estimator: kf.KfParams | None = None,
+):
+    """The rollout's full internal loop carry at tick 0.
+
+    Truth mode: the batched controller carry.  Estimator mode: the tuple
+    ``(controller_carry, kf_state, held_forces)`` (held forces seed the
+    synthesized accelerometer with standstill gravity support).  Production
+    sweeps build this explicitly so the WHOLE loop state is a checkpointable
+    pytree — resuming a killed sweep continues bitwise (SURVEY.md §5.4),
+    unlike the reference whose controllers are unserializable live objects.
+    """
+    B = jnp.shape(robot.mass)[0]
+    carry0 = jax.vmap(lambda _: ctrl.init_carry(mpc.horizon))(jnp.arange(B))
+    if estimator is None:
+        return carry0
+    kf0 = jax.vmap(lambda s: kf.KfState.init(s.pos, s.foot_pos))(init_state)
+    w0 = robot.mass * mpc.gravity / 4.0
+    forces0 = jnp.zeros((B, 12), jnp.float32).at[:, 2::3].set(w0[:, None])
+    return (carry0, kf0, forces0)
+
+
 def rollout(
     robot: RobotParams,
     mpc: MpcParams,
@@ -257,6 +282,9 @@ def rollout(
     estimator: kf.KfParams | None = None,
     sensor_noise: SensorNoise | None = None,
     key=None,
+    carry_in=None,
+    tick0=0,
+    return_full_carry: bool = False,
 ):
     """Closed-loop batched rollout under ``lax.scan``.
 
@@ -274,6 +302,13 @@ def rollout(
     runs :func:`pympc_quadruped_tpu.estimation.kf.update` gated by the gait
     schedule's planned contacts, and feeds the controller the estimate.
     Metrics then include per-tick estimator position/velocity errors.
+
+    Chunked sweeps resume exactly: pass the previous chunk's env state as
+    ``init_state``, its full carry (:func:`init_full_carry` structure) as
+    ``carry_in``, and the absolute starting tick as ``tick0`` — gait phase
+    and sensor-noise streams are functions of the absolute tick, so a
+    killed-and-restored sweep continues bitwise.  ``return_full_carry``
+    returns the whole carry instead of just the controller part.
     """
     B = jnp.shape(robot.mass)[0]
     if init_state is None:
@@ -281,19 +316,14 @@ def rollout(
             init_state = jax.vmap(init_state_on_terrain)(robot, terrain)
         else:
             init_state = jax.vmap(default_init_state)(robot)
-    carry0 = jax.vmap(lambda _: ctrl.init_carry(mpc.horizon))(jnp.arange(B))
     use_kf = estimator is not None
     if use_kf:
         if sensor_noise is None:
             sensor_noise = SensorNoise.default()
         if key is None:
             key = jax.random.PRNGKey(0)
-        kf0 = jax.vmap(lambda s: kf.KfState.init(s.pos, s.foot_pos))(init_state)
-        # Standstill gravity support as the initial "held forces" so the
-        # first synthesized accelerometer tick reads ~+g, not free-fall.
-        w0 = robot.mass * mpc.gravity / 4.0
-        forces0 = jnp.zeros((B, 12), jnp.float32).at[:, 2::3].set(w0[:, None])
-        carry0 = (carry0, kf0, forces0)
+    carry0 = init_full_carry(robot, mpc, init_state, estimator)
+    start_carry = carry0 if carry_in is None else carry_in
 
     def tick_fn(carry, tick):
         if use_kf:
@@ -371,9 +401,11 @@ def rollout(
             )
         return (env_state, new_carry), metrics
 
-    ticks = jnp.arange(num_ticks, dtype=jnp.int32)
+    ticks = jnp.int32(tick0) + jnp.arange(num_ticks, dtype=jnp.int32)
     (env_state, final_carry), metrics = jax.lax.scan(
-        tick_fn, (init_state, carry0), ticks
+        tick_fn, (init_state, start_carry), ticks
     )
+    if return_full_carry:
+        return (env_state, final_carry), metrics
     c_carry = final_carry[0] if use_kf else final_carry
     return (env_state, c_carry), metrics
