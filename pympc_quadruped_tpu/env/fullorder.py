@@ -25,18 +25,14 @@ model PhysX/MuJoCo regularized solvers approximate).  Gains are set for
 stability at dt = 1 ms given the light foot links (the reflected knee
 armature dominates the foot-point effective mass).
 
-Robot support status: Aliengo trots stably (tests/test_rbd.py).  A1 runs
-but is marginal here: the reference's A1 config asks for an unreachable
-0.42 m standing height on 0.2+0.2 m legs (ref robot_configs.py:42) and uses
-700-gain swing PD, which drives the knees to full extension; the implicit
-constraint solver in the MuJoCo oracle absorbs the singular transients
-(tests/test_mujoco_e2e.py::test_a1_trot_e2e_oracle passes) but the explicit
-penalty model amplifies them.  Use the MuJoCo harness for A1 full-order
-studies, or command a reachable height.
+Robot support status: Aliengo trots stably under the reference config
+(tests/test_rbd.py); A1 trots stably under :func:`a1_env_config`
+(tests/test_rbd.py::test_a1_fullorder_closed_loop_trot), which adapts three
+reference quirks that are tuned for the reference's own simulators rather
+than physical A1 (see the function docstring).
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +43,8 @@ from pympc_quadruped_tpu.models.gaits import GaitParams
 from pympc_quadruped_tpu.models.mpc import MpcParams
 from pympc_quadruped_tpu.models.robots import RobotParams
 from pympc_quadruped_tpu.control import controller as ctrl
-from pympc_quadruped_tpu.ops import kin, lie, rbd
+from pympc_quadruped_tpu.env import terrain as terrain_lib
+from pympc_quadruped_tpu.ops import gaitsched, kin, lie, rbd
 
 
 def rbd_model(robot: RobotParams, spec) -> rbd.RbdModel:
@@ -103,6 +100,41 @@ def rbd_model(robot: RobotParams, spec) -> rbd.RbdModel:
     )
 
 
+def a1_env_config():
+    """A1 configuration for the full-order on-device env: returns
+    ``(RobotParams, ContactParams)`` under which A1 trots stably at
+    <= 0.6 m/s (the on-TPU analog of the reference's 4xA1 IsaacGym run,
+    ref ``scripts/isaacgym_a1.py:57-183``).
+
+    Three reference-config quirks are adapted — each is a tuning for the
+    reference's OWN simulators, not physical A1, and each was isolated by a
+    closed-loop ablation in this env (r3):
+
+    - **true trunk inertia** (the reference's x10 fudge, ref
+      robot_configs.py:50, makes the MPC model the body as 10x harder to
+      rotate than the simulated dynamics; the resulting attitude
+      under-correction tips the robot within ~1 s here — with the true URDF
+      inertia the ablation's tail velocity error drops 0.73 -> 0.03);
+    - **reachable standing height 0.32 m** (the reference's 0.42 m equals
+      full extension of the 0.2+0.2 m legs — the stance Jacobian goes
+      singular at touchdown);
+    - **swing PD 300** (the 700 gain saturates the 33.5 N*m hardware
+      torque limit on touchdown transients).
+
+    ``ContactParams.tau_max`` is the A1 hardware limit (33.5 N*m knee
+    rating) — unlike the reference, which applies unclamped torques.
+    """
+    from pympc_quadruped_tpu.models.robots import a1
+
+    base = a1()
+    robot = base.replace(
+        inertia=base.inertia / 10.0,
+        base_height_des=jnp.float32(0.32),
+        kp_swing=jnp.full((3,), 300.0, jnp.float32),
+    )
+    return robot, ContactParams(tau_max=jnp.float32(33.5))
+
+
 class ContactParams(struct.PyTreeNode):
     """Penalty-contact gains + actuation/contact saturations.
 
@@ -139,7 +171,9 @@ class FullOrderState:
     q: jnp.ndarray      # (12,) joints, FL FR RL RR x (hip, thigh, calf)
 
 
-def default_init_state(robot: RobotParams) -> FullOrderState:
+def default_init_state(
+    robot: RobotParams, foot_radius=None
+) -> FullOrderState:
     """Nominal stance (q = (0, 0.8, -1.6) x 4, ref mujoco_aliengo.py:32-39)
     with the foot spheres resting exactly on the ground.
 
@@ -148,17 +182,39 @@ def default_init_state(robot: RobotParams) -> FullOrderState:
     stance (the reference's A1 desires 0.42 m on 0.2+0.2 m legs,
     ref robot_configs.py:42); starting feet-on-ground lets the controller
     settle to whatever height it can actually track.
+
+    ``foot_radius`` must be the SAME radius the contact model uses
+    (``ContactParams.foot_radius``) or the batch starts penetrating/
+    hovering; it defaults to ``-robot.touchdown_z``, which equals the
+    ``ContactParams`` default.  :func:`rollout` always passes its actual
+    contact radius.
     """
+    if foot_radius is None:
+        foot_radius = -robot.touchdown_z
     q0 = jnp.tile(jnp.array([0.0, 0.8, -1.6], jnp.float32), 4)
     p_bf, _ = kin.leg_forward_kinematics(robot, q0.reshape(4, 3))
-    # Lowest foot center at one sphere radius (-touchdown_z) above ground.
-    z0 = -jnp.min(p_bf[:, 2]) - robot.touchdown_z
+    # Lowest foot center at one sphere radius above ground.
+    z0 = -jnp.min(p_bf[:, 2]) + foot_radius
     return FullOrderState(
         pos=jnp.array([0.0, 0.0, 1.0], jnp.float32) * z0,
         quat=jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32),
         u=jnp.zeros((18,), jnp.float32),
         q=q0,
     )
+
+
+def init_state_on_terrain(
+    robot: RobotParams, terrain: terrain_lib.Terrain, foot_radius=None
+) -> FullOrderState:
+    """Nominal stance settled on the local terrain surface (mean foot-patch
+    height; the contact springs absorb the residual per-foot mismatch in the
+    first few ms, as on real ground)."""
+    s = default_init_state(robot, foot_radius)
+    R = lie.quat_to_rotmat(s.quat)
+    p_bf, _ = kin.leg_forward_kinematics(robot, s.q.reshape(4, 3))
+    feet_xy = (s.pos[None, :] + p_bf @ R.T)[:, :2]
+    gz = terrain_lib.height_at(terrain, feet_xy)
+    return s.replace(pos=s.pos.at[2].add(jnp.mean(gz)))
 
 
 def foot_kinematics(robot: RobotParams, state: FullOrderState):
@@ -179,14 +235,21 @@ def foot_kinematics(robot: RobotParams, state: FullOrderState):
 
 
 def contact_forces(
-    cp: ContactParams, p_feet: jnp.ndarray, v_feet: jnp.ndarray
+    cp: ContactParams, p_feet: jnp.ndarray, v_feet: jnp.ndarray,
+    ground_z: jnp.ndarray = 0.0,
 ) -> jnp.ndarray:
     """(4,3) world-frame penalty contact forces at the foot points.
 
     Normal: spring-damper on sphere-plane penetration, clamped >= 0 (no
     sticking).  Tangential: viscous, clamped to the mu * Fn Coulomb disc.
+
+    ``ground_z`` is the per-foot support-surface height (terrain query;
+    0 for the flat world).  The contact normal stays vertical — the same
+    height-field approximation the SRB env makes, adequate for the terrain
+    library's small slopes (ref terrain generation:
+    ``utils/isaacgym_utils.py:267-312``).
     """
-    phi = p_feet[:, 2] - cp.foot_radius                      # penetration < 0
+    phi = p_feet[:, 2] - ground_z - cp.foot_radius           # penetration < 0
     pen = jnp.maximum(-phi, 0.0)
     in_contact = (pen > 0.0).astype(p_feet.dtype)
     fn = jnp.maximum(cp.kn * pen - cp.cn * v_feet[:, 2] * in_contact, 0.0)
@@ -205,17 +268,27 @@ def physics_step(
     state: FullOrderState,
     tau: jnp.ndarray,
     dt: jnp.ndarray,
-) -> FullOrderState:
-    """One semi-implicit Euler step of the torque-driven articulated tree."""
+    terrain: terrain_lib.Terrain | None = None,
+) -> tuple[FullOrderState, jnp.ndarray]:
+    """One semi-implicit Euler step of the torque-driven articulated tree.
+
+    Returns ``(new_state, f_feet)`` — the (4,3) world contact forces ride
+    along so callers can gate estimators on MEASURED touch (the real foot
+    sensor, ref ``aliengo.xml:244-260`` touch sensors) instead of the plan.
+    """
     p_feet, v_feet, R = foot_kinematics(robot, state)
-    f_feet = contact_forces(cp, p_feet, v_feet)
+    if terrain is not None:
+        ground_z = terrain_lib.height_at(terrain, p_feet[:, :2])
+    else:
+        ground_z = jnp.zeros((4,), p_feet.dtype)
+    f_feet = contact_forces(cp, p_feet, v_feet, ground_z)
     tau = jnp.clip(tau, -cp.tau_max, cp.tau_max)
     du = rbd.forward_dynamics(model, state.q, state.u, R, tau, f_feet)
     u_new = state.u + dt * du
     q_new = state.q + dt * u_new[6:]
     quat_new = lie.quat_integrate(state.quat, u_new[:3], dt)
     pos_new = state.pos + dt * (R @ u_new[3:6])
-    return FullOrderState(pos=pos_new, quat=quat_new, u=u_new, q=q_new)
+    return FullOrderState(pos=pos_new, quat=quat_new, u=u_new, q=q_new), f_feet
 
 
 def observe(robot: RobotParams, state: FullOrderState) -> kin.RobotObs:
@@ -231,6 +304,25 @@ def observe(robot: RobotParams, state: FullOrderState) -> kin.RobotObs:
     )
 
 
+def _diverged(state: FullOrderState, ground_z: jnp.ndarray) -> jnp.ndarray:
+    """(B,) divergence flags: non-finite state or implausible trunk pose
+    relative to the local ground (SURVEY.md §5.3; the reference's only
+    recovery is a blanket periodic reset, ref ``isaacgym_a1.py:174-177``)."""
+    finite = (
+        jnp.all(jnp.isfinite(state.pos), axis=-1)
+        & jnp.all(jnp.isfinite(state.quat), axis=-1)
+        & jnp.all(jnp.isfinite(state.u), axis=-1)
+        & jnp.all(jnp.isfinite(state.q), axis=-1)
+    )
+    rel_h = state.pos[:, 2] - ground_z
+    plausible = (
+        (rel_h > 0.08)
+        & (rel_h < 1.0)
+        & (jnp.linalg.norm(state.u[:, 3:6], axis=-1) < 10.0)
+    )
+    return ~(finite & plausible)
+
+
 def rollout(
     robot_b: RobotParams,
     mpc: MpcParams,
@@ -243,6 +335,11 @@ def rollout(
     carry0=None,
     solver: str = ctrl.DEFAULT_SOLVER,
     spec=None,
+    terrain=None,
+    auto_reset: bool = False,
+    estimator=None,
+    sensor_noise=None,
+    key=None,
 ):
     """Batched closed-loop torque-driven rollout under ``lax.scan``.
 
@@ -251,10 +348,26 @@ def rollout(
     spec dynamic model tiled over the batch (pass a batched model for
     inertial domain randomization).
 
+    Feature parity with the SRB sibling (and the reference's full-physics
+    path, ref ``utils/isaacgym_utils.py:267-312`` terrain):
+
+    - ``terrain``: batched heightfield; contact queries the local support
+      height under each foot;
+    - ``auto_reset``: per-scenario divergence detection + snap-back to the
+      initial state (off by default to preserve raw dynamics studies);
+    - ``estimator``: drive the controller from the two-stage KF on noisy
+      IMU/encoder sensors, gated by MEASURED foot contact (normal force
+      > 1 N) — the real contact timing of the articulated dynamics, not the
+      gait plan (the robust gating the MuJoCo harness uses,
+      ``examples/mujoco_closed_loop.py``).
+
     Returns ((final_state, final_carry), metrics) with per-tick tracking
-    metrics stacked over time.
+    metrics stacked over time (incl. ``diverged`` flags and, with the
+    estimator, position/velocity estimate errors).
     """
     from pympc_quadruped_tpu.env import mjcf
+    from pympc_quadruped_tpu.env import srb_env
+    from pympc_quadruped_tpu.estimation import kf
 
     B = jnp.shape(robot_b.mass)[0]
     if model_b is None:
@@ -267,21 +380,106 @@ def rollout(
     if cp is None:
         cp = ContactParams()
     if state0 is None:
-        state0 = jax.vmap(default_init_state)(robot_b)
+        if terrain is not None:
+            state0 = jax.vmap(
+                lambda r, t: init_state_on_terrain(r, t, cp.foot_radius)
+            )(robot_b, terrain)
+        else:
+            state0 = jax.vmap(
+                lambda r: default_init_state(r, cp.foot_radius)
+            )(robot_b)
     if carry0 is None:
         carry0 = jax.vmap(lambda _: ctrl.init_carry(mpc.horizon))(jnp.arange(B))
+
+    use_kf = estimator is not None
+    if use_kf:
+        if sensor_noise is None:
+            sensor_noise = srb_env.SensorNoise.default()
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        feet0, _, _ = jax.vmap(foot_kinematics)(robot_b, state0)
+        kf0 = jax.vmap(lambda s, f: kf.KfState.init(s.pos, f))(state0, feet0)
+        R0 = jax.vmap(lie.quat_to_rotmat)(state0.quat)
+        vworld0 = jnp.einsum("bij,bj->bi", R0, state0.u[:, 3:6])
+        carry0 = (carry0, kf0, vworld0)
 
     dt = jnp.float32(mpc.dt_control)
 
     def tick_fn(carry, k):
-        env_state, c_carry = carry
-        obs = jax.vmap(observe)(robot_b, env_state)
+        env_state, inner = carry
+        if use_kf:
+            c_carry, kf_state, prev_vworld = inner
+            # IMU/encoder synthesis from the articulated state.  Specific
+            # force = trunk acceleration + g, in the body frame: the finite
+            # difference of the world velocity over the last step is the
+            # true accelerometer signal (reads +g at rest).
+            R = jax.vmap(lie.quat_to_rotmat)(env_state.quat)
+            vworld = jnp.einsum("bij,bj->bi", R, env_state.u[:, 3:6])
+            a_spec = jnp.einsum(
+                "bji,bj->bi", R,
+                (vworld - prev_vworld) / dt
+                + jnp.array([0.0, 0.0, 1.0], jnp.float32) * mpc.gravity,
+            )
+            keys = jax.random.split(jax.random.fold_in(key, k), 4)
+            n = lambda kk, shape, sig: sig * jax.random.normal(kk, (B,) + shape, jnp.float32)
+            gyro = env_state.u[:, :3] + n(keys[0], (3,), sensor_noise.gyro)
+            accel = a_spec + n(keys[1], (3,), sensor_noise.accel)
+            q_m = env_state.q + n(keys[2], (12,), sensor_noise.encoder_q)
+            qd_m = env_state.u[:, 6:] + n(keys[3], (12,), sensor_noise.encoder_qd)
+            # MEASURED contact gating: feet with real normal force.
+            p_feet, v_feet, _ = jax.vmap(foot_kinematics)(robot_b, env_state)
+            if terrain is not None:
+                gz = jax.vmap(lambda t, p: terrain_lib.height_at(t, p[:, :2]))(
+                    terrain, p_feet
+                )
+            else:
+                gz = jnp.zeros((B, 4), jnp.float32)
+            f_now = jax.vmap(contact_forces, in_axes=(None, 0, 0, 0))(
+                cp, p_feet, v_feet, gz
+            )
+            touch = (f_now[:, :, 2] > 1.0).astype(jnp.float32)
+            kf_state = jax.vmap(
+                lambda st, r, g_, a_, qm, qdm, c: kf.update(
+                    st, r, g_, a_, qm, qdm, c, estimator
+                )
+            )(kf_state, robot_b, gyro, accel, q_m, qd_m, touch)
+            obs = jax.vmap(kf.to_obs)(kf_state, gyro, q_m, qd_m)
+        else:
+            c_carry = inner
+            obs = jax.vmap(observe)(robot_b, env_state)
         c_carry, out = ctrl.step_batch(
             robot_b, mpc, gait_b, cmd_b, c_carry, obs, k, solver=solver
         )
-        env_state = jax.vmap(
-            lambda m, r, s, t: physics_step(m, r, cp, s, t, dt)
-        )(model_b, robot_b, env_state, out.torques)
+        if terrain is not None:
+            env_state, f_feet = jax.vmap(
+                lambda m, r, s, t, tr: physics_step(m, r, cp, s, t, dt, tr)
+            )(model_b, robot_b, env_state, out.torques, terrain)
+            ground_b = jax.vmap(
+                lambda t, p: jnp.mean(terrain_lib.height_at(t, p[None, :2]))
+            )(terrain, env_state.pos)
+        else:
+            env_state, f_feet = jax.vmap(
+                lambda m, r, s, t: physics_step(m, r, cp, s, t, dt)
+            )(model_b, robot_b, env_state, out.torques)
+            ground_b = jnp.zeros((B,), jnp.float32)
+
+        bad = _diverged(env_state, ground_b)
+        if use_kf:
+            R_new = jax.vmap(lie.quat_to_rotmat)(env_state.quat)
+            vworld_new = jnp.einsum("bij,bj->bi", R_new, env_state.u[:, 3:6])
+            new_inner = (c_carry, kf_state, vworld_new)
+        else:
+            new_inner = c_carry
+        if auto_reset:
+            pick = lambda a, b: jax.tree.map(
+                lambda x, y: jnp.where(
+                    bad.reshape((B,) + (1,) * (x.ndim - 1)), x, y
+                ),
+                a, b,
+            )
+            env_state = pick(state0, env_state)
+            new_inner = pick(carry0, new_inner)
+
         R = jax.vmap(lie.quat_to_rotmat)(env_state.quat)
         v_world = jnp.einsum("bij,bj->bi", R, env_state.u[:, 3:6])
         vel_des = jnp.einsum("bij,bj->bi", R, cmd_b.vel_base_des)
@@ -289,9 +487,20 @@ def rollout(
             "vel_err": jnp.linalg.norm(v_world[:, :2] - vel_des[:, :2], axis=-1),
             "height": env_state.pos[:, 2],
             "upright": R[:, 2, 2],
+            "diverged": bad,
         }
-        return (env_state, c_carry), metrics
+        if use_kf:
+            est = new_inner[1]
+            metrics["est_pos_err"] = jnp.linalg.norm(
+                est.x[:, 0:3] - env_state.pos, axis=-1
+            )
+            metrics["est_vel_err"] = jnp.linalg.norm(
+                est.x[:, 3:6] - v_world, axis=-1
+            )
+        return (env_state, new_inner), metrics
 
-    return jax.lax.scan(
+    (final_state, final_inner), metrics = jax.lax.scan(
         tick_fn, (state0, carry0), jnp.arange(num_ticks, dtype=jnp.int32)
     )
+    final_carry = final_inner[0] if use_kf else final_inner
+    return (final_state, final_carry), metrics

@@ -316,12 +316,14 @@ def forward_dynamics(
     tau: jnp.ndarray,
     f_feet_world: jnp.ndarray,
 ) -> jnp.ndarray:
-    """du (18,): H^{-1} (tau_gen - C), with joint damping applied implicitly.
+    """du (18,): H^{-1} (tau_gen - C - d*qd).
 
     ``tau`` (12,) are the hinge motor torques; the base rows carry no
-    actuation.  Damping enters the left-hand side (semi-implicit in qd):
-    (H + dt*D) would be the fully implicit form — here damping is simply a
-    generalized force -d*qd, matching MuJoCo's passive force model.
+    actuation.  Joint damping is applied as an EXPLICIT passive generalized
+    force -d*qd on the right-hand side — exactly MuJoCo's continuous
+    passive-force model, which the ``tests/test_rbd.py`` qacc parity check
+    requires.  (A fully implicit treatment would fold it into the left-hand
+    side as (H + dt*D); the envs' semi-implicit Euler does not.)
     """
     C = bias_forces(model, q, u, R_base, f_feet_world)
     damp = jnp.concatenate(

@@ -149,6 +149,124 @@ def test_mass_matrix_spd_and_symmetric():
     assert w.min() > 0.0, f"mass matrix not SPD: lambda_min {w.min()}"
 
 
+def test_a1_fullorder_closed_loop_trot():
+    """A1 trots on-device in the full-order env under :func:`a1_env_config`
+    — the on-TPU analog of the reference's 4xA1 IsaacGym entry point
+    (ref ``scripts/isaacgym_a1.py:57-183``), with the real 33.5 N*m
+    hardware torque clamp the reference never applies."""
+    B = 2
+    mpc = MpcParams(horizon=10)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
+    )
+    robot1, cp = fullorder.a1_env_config()
+    robot = tile(robot1)
+    gait = tile(Gaits.trotting10())
+    cmd = tile(Command.trot_forward(0.6))
+    (state, _), metrics = fullorder.rollout(
+        robot, mpc, gait, cmd, num_ticks=3000, cp=cp, spec=mjcf.a1_spec()
+    )
+    h = np.asarray(metrics["height"])
+    v = np.asarray(metrics["vel_err"])
+    up = np.asarray(metrics["upright"])
+    assert not np.asarray(metrics["diverged"]).any()
+    assert 0.28 < h[-500:].mean() < 0.40, f"height drifted: {h[-500:].mean():.3f}"
+    assert v[-500:].mean() < 0.15, f"velocity tracking error {v[-500:].mean():.3f}"
+    assert up[-500:].min() > 0.9, f"not upright: {up[-500:].min():.3f}"
+    assert float(state.pos[0, 0]) > 1.0
+
+
+def test_fullorder_rough_terrain_trot():
+    """Terrain-aware contact (feature parity with srb_env and the
+    reference's heightfield path, ref ``utils/isaacgym_utils.py:267-312``):
+    Aliengo trots across 2 cm random-rough ground in the articulated env."""
+    from pympc_quadruped_tpu.env import terrain as terrain_lib
+
+    B = 2
+    mpc = MpcParams(horizon=10)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
+    )
+    robot = tile(aliengo())
+    gait = tile(Gaits.trotting10())
+    cmd = tile(Command.trot_forward(0.8))
+    terr = tile(terrain_lib.random_rough(jax.random.PRNGKey(11), amplitude=0.02))
+    (state, _), metrics = fullorder.rollout(
+        robot, mpc, gait, cmd, num_ticks=2000, terrain=terr
+    )
+    up = np.asarray(metrics["upright"])
+    assert not np.asarray(metrics["diverged"]).any()
+    assert up[-500:].min() > 0.9, f"not upright: {up[-500:].min():.3f}"
+    assert float(state.pos[0, 0]) > 0.8, "did not traverse the rough field"
+
+
+def test_fullorder_kf_measured_contact_drive():
+    """The estimator closes the loop on the articulated dynamics with
+    MEASURED foot-contact gating (normal force > 1 N) — real contact
+    timing, not the gait plan (the failure mode the MuJoCo harness hit
+    with planned-stance gating)."""
+    from pympc_quadruped_tpu.estimation import kf
+
+    B = 2
+    mpc = MpcParams(horizon=10)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
+    )
+    robot = tile(aliengo())
+    gait = tile(Gaits.trotting10())
+    cmd = tile(Command.trot_forward(0.8))
+    est = kf.KfParams.default().replace(contact_height=jnp.float32(0.0255))
+    (state, _), metrics = fullorder.rollout(
+        robot, mpc, gait, cmd, num_ticks=2000,
+        estimator=est, key=jax.random.PRNGKey(5),
+    )
+    up = np.asarray(metrics["upright"])
+    ve = np.asarray(metrics["vel_err"])
+    assert not np.asarray(metrics["diverged"]).any()
+    assert up[-500:].min() > 0.9, f"not upright: {up[-500:].min():.3f}"
+    assert ve[-500:].mean() < 0.25, f"velocity tracking {ve[-500:].mean():.3f}"
+    # The estimate the controller consumed was actually good.  The velocity
+    # bar is wider than the SRB env's (test_kf.py): the articulated env's
+    # accelerometer carries real touchdown-impact spikes (hundreds of m/s^2
+    # for ~1 ms) that the SRB env's smooth synthesized accel never shows.
+    assert np.asarray(metrics["est_vel_err"])[-500:].mean() < 0.35
+    # Horizontal position is observable only through foot anchoring, and
+    # penalty-contact feet CREEP under load (viscous tangential model), so
+    # leg odometry accrues bounded drift with distance (~13% here over
+    # 1.6 m) — the bar asserts bounded, not SRB-env-tight (feet pinned
+    # exactly there).  The controller is insensitive: the MPC clamps its
+    # position error to +-0.1 m (ref mpc.py:121-137).
+    assert np.asarray(metrics["est_pos_err"])[-1].max() < 0.35
+
+
+def test_fullorder_auto_reset_recovers_poisoned_scenario():
+    """Per-scenario divergence auto-reset (same contract as
+    test_env_aux.py's SRB version): a NaN-poisoned scenario is flagged and
+    snapped back every tick, while its well-posed neighbor keeps trotting
+    untouched."""
+    B = 2
+    mpc = MpcParams(horizon=10)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
+    )
+    robot = tile(aliengo())
+    gait = tile(Gaits.trotting10())
+    # 1.2 m/s: the reference's demonstrated Aliengo operating point (the env
+    # has a resonant instability band near 1.0 m/s; 0.8 and 1.2 are stable).
+    cmd = tile(Command.trot_forward(1.2))
+    state0 = jax.vmap(lambda r: fullorder.default_init_state(r))(robot)
+    state0 = state0.replace(u=state0.u.at[1, 3].set(jnp.nan))
+    (state, _), metrics = fullorder.rollout(
+        robot, mpc, gait, cmd, num_ticks=1500, state0=state0, auto_reset=True
+    )
+    div = np.asarray(metrics["diverged"])
+    up = np.asarray(metrics["upright"])
+    assert not div[:, 0].any(), "well-posed scenario must not reset"
+    assert div[:, 1].any(), "poisoned scenario should be flagged"
+    assert np.all(np.isfinite(np.asarray(state.pos)))
+    assert up[-300:, 0].min() > 0.9, "well-posed scenario degraded by neighbor"
+
+
 def test_fullorder_closed_loop_trot():
     """The torque-driven full-order loop holds a 1.2 m/s trot — the
     capability the reference delegates to IsaacGym, batched on device."""
