@@ -97,7 +97,7 @@ def build_inputs(batch, horizon, seed=0):
     )
 
 
-def _time(fn, args, iters):
+def _time(fn, args, iters, raw=False):
     out = fn(*args)
     import jax
     jax.block_until_ready(out)  # compile
@@ -108,11 +108,36 @@ def _time(fn, args, iters):
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     times = np.array(times)
+    if raw:
+        return times
     return {
         "p50_s": float(np.percentile(times, 50)),
         "p99_s": float(np.percentile(times, 99)),
         "min_s": float(times.min()),
     }
+
+
+def _retry(fn, attempts=3, label=""):
+    """Retry transient axon remote-compile failures (the tunnel drops the
+    response body under load — environmental, not a regression; verified by
+    re-running: the same program compiles fine on retry)."""
+    last = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # pragma: no cover - tunnel flake path
+            last = e
+            msg = str(e)
+            transient = (
+                "remote_compile" in msg
+                or "response body" in msg
+                or "FailedPrecondition" in msg
+                or "DEADLINE_EXCEEDED" in msg
+            )
+            if not transient or i == attempts - 1:
+                raise
+            time.sleep(5.0 * (i + 1))
+    raise last
 
 
 def bench_solver(solver, batch, horizon, iters=20):
@@ -168,15 +193,23 @@ def bench_device_marginal(batch, horizon, iters=10, K=8):
 
         return run
 
-    t1 = _time(chained(1), (x_t,), iters)
-    tk = _time(chained(K), (x_t,), iters)
-    m50 = (tk["p50_s"] - t1["p50_s"]) / (K - 1)
-    m99 = (tk["p99_s"] - t1["p99_s"]) / (K - 1)
+    t1 = _time(chained(1), (x_t,), iters, raw=True)
+    tk = _time(chained(K), (x_t,), iters, raw=True)
+    # Per-sample pairing: percentile of the SORTED pairwise differences, not
+    # the difference of percentiles — one slow outlier in the K=1 run can
+    # otherwise print a 0.0 (or negative) marginal p99 that spuriously
+    # qualifies a batch as real-time (advisor r2 finding).  The p99 is
+    # reported SIGNED; a negative value means measurement noise exceeded the
+    # marginal and the sample count should be raised, not that latency is 0.
+    diffs = (np.sort(tk) - np.sort(t1)) / (K - 1)
+    m50 = float(np.percentile(diffs, 50))
+    m99 = float(np.percentile(diffs, 99))
+    p50_single = float(np.percentile(t1, 50))
     return {
         "marginal_p50_ms": round(m50 * 1e3, 3),
-        "marginal_p99_ms": round(max(m99, 0.0) * 1e3, 3),
-        "single_call_p50_ms": round(t1["p50_s"] * 1e3, 3),
-        "dispatch_overhead_ms": round((t1["p50_s"] - m50) * 1e3, 3),
+        "marginal_p99_ms": round(m99 * 1e3, 3),
+        "single_call_p50_ms": round(p50_single * 1e3, 3),
+        "dispatch_overhead_ms": round((p50_single - m50) * 1e3, 3),
         "marginal_solves_per_s": round(batch / m50, 1) if m50 > 0 else None,
     }
 
@@ -254,8 +287,11 @@ def pallas_parity(batch=256, horizon=10):
         admm_fast.solve_batch(H, g, tables, robot.fz_max, mpc, backend="jnp") * mv
     )
     finite = bool(np.all(np.isfinite(U_p)))
-    fz_p = U_p[:, 2::3].sum(-1)
-    fz_j = U_j[:, 2::3].sum(-1)
+    # Per-TIMESTEP leg-summed vertical force (B, h): summing over the whole
+    # horizon would let opposite-sign per-step discrepancies cancel — the
+    # instantaneous wrench is the physical invariant (advisor r2 finding).
+    fz_p = U_p[:, 2::3].reshape(batch, horizon, 4).sum(-1)
+    fz_j = U_j[:, 2::3].reshape(batch, horizon, 4).sum(-1)
     fz_err = float(np.max(np.abs(fz_p - fz_j) / (1.0 + np.abs(fz_j))))
     el_err = float(np.max(np.abs(U_p - U_j)))
 
@@ -405,13 +441,21 @@ def main():
             if b > args.batch:
                 break
             try:
-                r = bench_device_marginal(b, args.horizon, max(5, args.iters // 2))
+                r = _retry(
+                    lambda b=b: bench_device_marginal(
+                        b, args.horizon, max(5, args.iters // 2)
+                    ),
+                    label=f"marginal_{b}",
+                )
             except Exception as e:
                 curve[str(b)] = {"error": str(e)[:120]}
                 continue
             curve[str(b)] = r
+            # Gate on max(p99, p50): a noise-negative p99 cannot qualify a
+            # batch as real-time (advisor r2 finding).
+            gate_ms = max(r["marginal_p99_ms"], r["marginal_p50_ms"])
             if (
-                r["marginal_p99_ms"] < REALTIME_BUDGET_MS
+                gate_ms < REALTIME_BUDGET_MS
                 and r["marginal_solves_per_s"]
                 and b > max_rt_batch
             ):

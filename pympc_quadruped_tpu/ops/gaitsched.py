@@ -56,10 +56,19 @@ def gait_table(gait: GaitParams, mpc: MpcParams, tick: jnp.ndarray) -> jnp.ndarr
 
 
 def _window_state(phase, offsets_n, durations_n):
-    """Shared swing/stance normalization (ref gait.py:102-135)."""
+    """Shared swing/stance normalization (ref gait.py:102-135).
+
+    A zero-duration window (STANDING's swing phase) yields 0 ("not in this
+    phase"), not the reference's 0/0 NaN at the window start — downstream
+    consumers compare ``swing_state == 0.0`` to pick stance, and a NaN there
+    would silently mark a standing leg as swinging.
+    """
     state = phase - offsets_n
     state = jnp.where(state < 0.0, state + 1.0, state)
-    return jnp.where(state > durations_n, 0.0, state / durations_n)
+    safe_dur = jnp.where(durations_n > 0.0, durations_n, 1.0)
+    return jnp.where(
+        (state > durations_n) | (durations_n <= 0.0), 0.0, state / safe_dur
+    )
 
 
 def swing_state(gait: GaitParams, mpc: MpcParams, tick: jnp.ndarray) -> jnp.ndarray:

@@ -278,7 +278,11 @@ def gait_table(gait: OracleGait, cfg: OracleConfig, tick: int):
 def _window(phase, off, dur):
     st = phase - off
     st = np.where(st < 0, st + 1.0, st)
-    return np.where(st > dur, 0.0, st / dur)
+    # dur == 0 (STANDING's zero swing duration) must yield 0, not a 0/0
+    # RuntimeWarning — keep the oracle warning-clean so real NaN regressions
+    # stand out.
+    safe_dur = np.where(dur > 0, dur, 1.0)
+    return np.where((st > dur) | (dur <= 0), 0.0, st / safe_dur)
 
 
 def swing_state(gait: OracleGait, cfg: OracleConfig, tick: int):

@@ -76,11 +76,10 @@ def test_a1_trot_kf_raw_sensors():
     assert 0.3 < res["mean_height_last_2s"] < 0.43, res
 
 
-@pytest.mark.skipif(
-    not os.environ.get("PYMPC_RUN_SLOW"),
-    reason="JAX engine e2e is dispatch-bound on CPU (~5 min); set PYMPC_RUN_SLOW=1",
-)
 def test_aliengo_trot_e2e_jax_engine():
+    """Closed loop on the SHIPPING f32 engine inside the MuJoCo oracle sim
+    (measured ~14 s on this host — cheap enough for CI; it was gated as
+    "slow" in r2 on a stale 5-min estimate)."""
     res = run(controller="jax", seconds=1.0, verbose=False)
     assert res["completed"], res
     assert abs(res["mean_height_last_2s"] - 0.38) < 0.02, res
