@@ -194,7 +194,13 @@ def make_jax_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0):
 
 
 def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
-        robot="aliengo", vx=None, xml=None, sensors="truth", yaw_rate=0.0):
+        robot="aliengo", vx=None, xml=None, sensors="truth", yaw_rate=0.0,
+        render=None, render_fps=30):
+    """``render``: path of an offscreen-rendered GIF of the run (the
+    publishable artifact matching the reference's
+    ``doc/results/trotting10_mujoco.gif``).  Uses ``mujoco.Renderer`` with a
+    trunk-tracking camera; requires a headless GL backend (MUJOCO_GL=egl
+    works in this image)."""
     from pympc_quadruped_tpu.env import mjcf
 
     if vx is None:
@@ -221,6 +227,14 @@ def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
 
     n_ticks = int(seconds * 1000)
     log = {"t": [], "pos": [], "vel": [], "obs": [], "forces": [], "torques": []}
+    renderer, frames, frame_every = None, [], max(1, 1000 // render_fps)
+    if render is not None:
+        os.environ.setdefault("MUJOCO_GL", "egl")
+        renderer = mujoco.Renderer(model, 480, 640)
+        cam = mujoco.MjvCamera()
+        cam.type = mujoco.mjtCamera.mjCAMERA_TRACKING
+        cam.trackbodyid = model.body("trunk").id
+        cam.distance, cam.elevation, cam.azimuth = 1.6, -18.0, 120.0
     t_start = time.time()
     for tick in range(n_ticks):
         if estimator is not None:
@@ -236,6 +250,9 @@ def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
             log["obs"].append(obs)
             log["forces"].append(forces.copy())
             log["torques"].append(np.asarray(torques).copy())
+        if renderer is not None and tick % frame_every == 0:
+            renderer.update_scene(data, camera=cam)
+            frames.append(renderer.render().copy())
         if tick % 1000 == 0 and verbose:
             print(
                 f"t={tick/1000:.1f}s pos=({data.qpos[0]:+.2f},{data.qpos[1]:+.2f},"
@@ -250,6 +267,17 @@ def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
             break
 
     wall = time.time() - t_start
+    if renderer is not None:
+        from PIL import Image
+
+        renderer.close()
+        imgs = [Image.fromarray(f) for f in frames]
+        imgs[0].save(
+            render, save_all=True, append_images=imgs[1:],
+            duration=int(1000 / render_fps), loop=0,
+        )
+        if verbose:
+            print(f"rendered {len(imgs)} frames -> {render}")
     pos = np.array(log["pos"])
     vel = np.array(log["vel"])
     n = len(pos)
@@ -296,7 +324,9 @@ if __name__ == "__main__":
         "--sensors", choices=["truth", "raw"], default="truth",
         help="raw = IMU+encoders through the two-stage KF (no ground truth)",
     )
+    ap.add_argument("--render", default=None,
+                    help="write an offscreen-rendered GIF of the run here")
     args = ap.parse_args()
     run(args.controller, args.seconds, args.horizon, args.record,
         robot=args.robot, vx=args.vx, xml=args.xml, sensors=args.sensors,
-        yaw_rate=args.yaw_rate)
+        yaw_rate=args.yaw_rate, render=args.render)

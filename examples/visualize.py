@@ -46,13 +46,17 @@ def main():
     mpc = MpcParams(horizon=10)
     gait = Gaits.trotting10()
 
-    # 1. Record a trot + animate it.
+    # 1. Record a trot + animate it (stick figure) + render it (MuJoCo
+    # offscreen — the publishable artifact matching the reference's
+    # doc/results/trotting10_mujoco.gif).
     trace_path = os.path.join(args.out, "trace.npz")
     run(controller="oracle", seconds=args.seconds, robot=args.robot,
-        record=trace_path, verbose=False)
+        record=trace_path, verbose=False,
+        render=os.path.join(args.out, "trot_rendered.gif"))
     trace = dict(np.load(trace_path))
     gif = viz.animate_trot(trace, robot1, os.path.join(args.out, "trot.gif"))
     print("wrote", gif)
+    print("wrote", os.path.join(args.out, "trot_rendered.gif"))
 
     # 2. Gait diagram.
     print("wrote", viz.gait_diagram(gait, mpc, 2000, os.path.join(args.out, "gait.png")))

@@ -271,8 +271,17 @@ class AdmmOperands(NamedTuple):
     u: jnp.ndarray      # (B,m) scaled upper bounds
 
 
-def setup(H, g, gait_table, fz_max, mpc: MpcParams, cfg: AdmmFastConfig):
-    """Scale, assemble and invert — batched, scatter-free, matmul-dominated."""
+def setup(H, g, gait_table, fz_max, mpc: MpcParams, cfg: AdmmFastConfig,
+          invert: bool = True):
+    """Scale, assemble and invert — batched, scatter-free, matmul-dominated.
+
+    With ``invert=False`` the returned ``Kinv`` field holds the UN-inverted
+    scaled KKT matrix K — the input of the fused Pallas kernel
+    (:func:`admm_pallas.iterate_fused`), which performs the Schur inversion
+    in VMEM.  Measured (r3): composing the XLA ``spd_inverse`` with the
+    Pallas iterate in one program costs ~90 ms of layout-relayout copies at
+    batch 4096; in-kernel inversion removes that interface.
+    """
     B, n = g.shape
     h = mpc.horizon
     mu = mpc.friction_coef
@@ -304,8 +313,8 @@ def setup(H, g, gait_table, fz_max, mpc: MpcParams, cfg: AdmmFastConfig):
     ata = jnp.einsum("bkcd,kj->bkcjd", core, eye_blk, precision=_PREC).reshape(B, n, n)
 
     K = Hs + ata + cfg.sigma * jnp.eye(n, dtype=H.dtype)
-    Kinv = spd_inverse(K, cfg.newton_schulz_iters)
-    return AdmmOperands(Kinv=Kinv, q=g_s, d=d, es=es, rho=rho, l=l_s, u=u_s)
+    Kmat = spd_inverse(K, cfg.newton_schulz_iters) if invert else K
+    return AdmmOperands(Kinv=Kmat, q=g_s, d=d, es=es, rho=rho, l=l_s, u=u_s)
 
 
 # ---------------------------------------------------------------------------
@@ -373,8 +382,11 @@ def solve_batch(H, g, gait_table, fz_max, mpc: MpcParams,
     With ``return_duals`` the unscaled row duals ``lam = es * y`` ride along
     for the caller to carry into the next solve.
     """
+    if backend == "auto":
+        backend = "pallas_fused" if jax.default_backend() == "tpu" else "jnp"
     P0 = cone_pattern(mpc.friction_coef, mpc.horizon)
-    ops = setup(H, g, gait_table, fz_max, mpc, cfg)
+    ops = setup(H, g, gait_table, fz_max, mpc, cfg,
+                invert=(backend != "pallas_fused"))
     init = None
     if warm is not None:
         U0, lam0 = warm
@@ -386,9 +398,11 @@ def solve_batch(H, g, gait_table, fz_max, mpc: MpcParams,
         z0 = jnp.clip(ops.es * (U0 @ P0.T), ops.l, ops.u)
         y0 = jnp.where(gated, lam0 / safe_es, 0.0)
         init = (x0, z0, y0)
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if backend == "pallas":
+    if backend == "pallas_fused":
+        from pympc_quadruped_tpu.ops.qp import admm_pallas
+
+        x, y = admm_pallas.iterate_fused(ops, P0, cfg, init)
+    elif backend == "pallas":
         from pympc_quadruped_tpu.ops.qp import admm_pallas
 
         x, y = admm_pallas.iterate(ops, P0, cfg, init)

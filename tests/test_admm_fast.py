@@ -160,11 +160,15 @@ def test_cone_pattern_matches_reference_rows():
 @pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="Pallas TPU kernel needs a TPU"
 )
-def test_pallas_matches_jnp_quality():
+@pytest.mark.parametrize("backend", ["pallas", "pallas_fused"])
+def test_pallas_matches_jnp_quality(backend):
+    """TPU-lane quality gate for both kernels: the iterate-only kernel and
+    the shipping fused kernel (in-VMEM Schur inversion + iterations) each
+    land within f32 solver noise of the certified oracle's cost."""
     mpc, robot, H64, g64, table = _mpc_instance(340)
     U_star = _oracle_solution(H64, g64, table)
     Hm, gm, mv = _masked(H64, g64, table)
-    U = _solve_fast(Hm, gm, table, robot, mpc, backend="pallas") * mv
+    U = _solve_fast(Hm, gm, table, robot, mpc, backend=backend) * mv
     gap = _cost_gap(H64 * np.outer(mv, mv) + np.diag(1 - mv), g64 * mv, U, U_star * mv)
     scale = abs(0.5 * U_star @ H64 @ U_star + g64 @ U_star) + 1.0
     assert gap / scale < 1e-5
