@@ -214,6 +214,60 @@ def bench_device_marginal(batch, horizon, iters=10, K=8):
     }
 
 
+def bench_warm_marginal(batch, horizon, iters=8, K=6):
+    """Warm-started receding solve rate (the production in-loop mode).
+
+    Chained scan where each solve warm-starts from the previous solution's
+    primal/dual at the in-loop iteration count
+    (``AdmmFastConfig.inloop()``, 30 vs 80 cold — closed-loop tracking is
+    identical to 4 decimals, see the preset's docstring).  Reported as a
+    separate row; the cold 80-iteration number stays the headline.
+    """
+    import jax
+    import jax.numpy as jnp
+    from pympc_quadruped_tpu.control import refmpc
+    from pympc_quadruped_tpu.ops.qp import admm_fast
+
+    robot, mpc, x_t, yaw, feet, X_ref, tables = build_inputs(batch, horizon)
+    cfg = admm_fast.AdmmFastConfig.inloop()
+    n, m = 12 * horizon, 20 * horizon
+
+    def chained(k):
+        @jax.jit
+        def run(x):
+            def body(carry, _):
+                c, U_prev, lam_prev = carry
+                H, g, mv = jax.vmap(
+                    lambda xi, yi, fi, Xi, ti: refmpc.build_qp(
+                        robot, mpc, xi, yi, fi, Xi, ti)
+                )(c, yaw, feet, X_ref, tables)
+                U, lam = admm_fast.solve_batch(
+                    H, g, tables, robot.fz_max, mpc, cfg,
+                    warm=(U_prev, lam_prev), return_duals=True,
+                )
+                U = U * mv
+                c2 = c + 1e-6 * jnp.pad(U[:, :12], ((0, 0), (0, 1)))[:, :13]
+                return (c2, U, lam), None
+            (c, _, _), _ = jax.lax.scan(
+                body,
+                (x, jnp.zeros((batch, n), jnp.float32),
+                 jnp.zeros((batch, m), jnp.float32)),
+                None, length=k,
+            )
+            return c
+        return run
+
+    t1 = _time(chained(1), (x_t,), iters, raw=True)
+    tk = _time(chained(K), (x_t,), iters, raw=True)
+    diffs = (np.sort(tk) - np.sort(t1)) / (K - 1)
+    m50 = float(np.percentile(diffs, 50))
+    return {
+        "iterations": cfg.iterations,
+        "marginal_p50_ms": round(m50 * 1e3, 3),
+        "marginal_solves_per_s": round(batch / m50, 1) if m50 > 0 else None,
+    }
+
+
 def bench_stages(batch, horizon, iters=10):
     """Stage split of the shipping path: build QP | scale+assemble K |
     fused Pallas kernel (in-VMEM Schur inversion + iterations).
@@ -542,6 +596,12 @@ def main():
             record["pod_scale"] = _retry(lambda: bench_pod_scale())
         except Exception as e:
             record["pod_scale"] = {"error": str(e)[:200]}
+        try:
+            record["warm_inloop"] = _retry(
+                lambda: bench_warm_marginal(min(4096, args.batch), args.horizon)
+            )
+        except Exception as e:
+            record["warm_inloop"] = {"error": str(e)[:200]}
 
     print(json.dumps(record))
 

@@ -180,7 +180,10 @@ def step_batch(
     solver: Literal["admm_fast", "admm", "ipm", "ipm_parity"] = DEFAULT_SOLVER,
     ipm_cfg: ipm.IpmConfig = ipm.IpmConfig(),
     admm_cfg: admm.AdmmConfig = admm.AdmmConfig(),
-    admm_fast_cfg: admm_fast.AdmmFastConfig = admm_fast.AdmmFastConfig(),
+    # In-loop default: the warm-started receding-horizon preset (see
+    # AdmmFastConfig.inloop) — every solve after the first starts from the
+    # previous tick's shifted primal/dual.
+    admm_fast_cfg: admm_fast.AdmmFastConfig = admm_fast.AdmmFastConfig.inloop(),
 ):
     """Batched tick: every pytree argument except ``mpc`` and ``tick`` carries a
     leading scenario axis (``robot``, ``gait`` and ``cmd`` included — they are

@@ -69,6 +69,20 @@ class AdmmFastConfig(NamedTuple):
     newton_schulz_iters: int = 1
     tile: int = 64             # scenarios per Pallas grid step
 
+    @classmethod
+    def inloop(cls) -> "AdmmFastConfig":
+        """Receding-horizon (warm-started) preset: 30 iterations.
+
+        The closed loop warm-starts every solve from the previous tick's
+        primal/dual (``control/controller.py``), which cuts the iterations
+        needed for a given cost gap ~3x (measured r3: warm-started solves
+        settle at ~2e-6 relative cost gap by 30 iterations vs 80 cold, and
+        a 3 s Aliengo trot's tracking metrics are identical to 4 decimals
+        from 80 down to 20 iterations).  The cold default stays 80 for
+        one-shot/offline solves.
+        """
+        return cls(iterations=30)
+
 
 # ---------------------------------------------------------------------------
 # Shared friction-pyramid pattern
