@@ -496,6 +496,37 @@ def bench_pod_scale(total=65536, chunk=8192, horizon=10, iters=3):
     }
 
 
+def bench_gait_sweep(batch=256, ticks=2000):
+    """BASELINE config 3: a 256-scenario closed-loop sweep mixing
+    trotting10 / pacing10 / bounding8 in one vmapped SRB rollout, with
+    per-gait survival and tracking stats (the reference's gait library,
+    ref ``linear_mpc/gait.py:16-22``, exercised closed-loop at batch)."""
+    import jax
+    import jax.numpy as jnp
+    import time as _t
+    from pympc_quadruped_tpu.models.mpc import MpcParams
+    from pympc_quadruped_tpu.models.robots import aliengo
+    from pympc_quadruped_tpu.parallel import sweep
+
+    names = ["trotting10", "pacing10", "bounding8"]
+    robot_b = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + jnp.shape(x)), aliengo()
+    )
+    t0 = _t.time()
+    _, per_gait = sweep.gait_sweep(robot_b, MpcParams(horizon=10), names, ticks)
+    wall = _t.time() - t0
+    return {
+        "batch": batch,
+        "sim_ticks": ticks,
+        "wall_s": round(wall, 2),
+        "ticks_per_s": round(batch * ticks / wall, 1),
+        "per_gait": {
+            k: {kk: round(vv, 4) for kk, vv in v.items()}
+            for k, v in per_gait.items()
+        },
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8192)
@@ -602,6 +633,10 @@ def main():
             )
         except Exception as e:
             record["warm_inloop"] = {"error": str(e)[:200]}
+        try:
+            record["gait_sweep"] = _retry(lambda: bench_gait_sweep())
+        except Exception as e:
+            record["gait_sweep"] = {"error": str(e)[:200]}
 
     print(json.dumps(record))
 
