@@ -84,13 +84,11 @@ def _iterate(Kinv, q, d, es, rho, l, u, P0, x0, z0, y0,
              iterations, sigma, alpha, tile):
     B, n = q.shape
     m = es.shape[-1]
-    # Largest divisor of B not exceeding the requested tile, so closed-loop
-    # callers with arbitrary batch sizes (B=1 single robot, B=12, ...) work
-    # without padding; throughput callers use power-of-two batches and get
-    # the full tile.
-    tile = min(tile, B)
-    while B % tile:
-        tile -= 1
+    # Largest Mosaic-legal divisor of B not exceeding the requested tile, so
+    # closed-loop callers with arbitrary batch sizes (B=1 single robot,
+    # B=12, ...) work without padding; throughput callers use power-of-two
+    # batches and get the full tile.
+    tile = _pick_tile(B, tile)
     kern = functools.partial(
         _kernel, iterations=iterations, sigma=float(sigma), alpha=float(alpha)
     )
@@ -251,6 +249,17 @@ def _fused_kernel(K_ref, q_ref, d_ref, es_ref, rho_ref, l_ref, u_ref,
     y_ref[:] = y
 
 
+def _pick_tile(B: int, want: int) -> int:
+    """Largest divisor of B <= want that Mosaic accepts for 2-D blocks:
+    a multiple of 8 (sublane) or the full batch itself."""
+    t = min(want, B)
+    while B % t or (t % 8 and t != B):
+        t -= 1
+        if t == 0:
+            return B
+    return t
+
+
 def _pow2_pad(n: int, leaf: int = 16) -> int:
     """Smallest leaf * 2^k >= n (120 -> 128): the in-kernel recursion needs
     lane-aligned block boundaries at every level."""
@@ -268,9 +277,7 @@ def _iterate_fused(K, q, d, es, rho, l, u, P0, x0, z0, y0,
                    iterations, sigma, alpha, tile, ns_iters):
     B, n = q.shape
     m = es.shape[-1]
-    tile = min(tile, B)
-    while B % tile:
-        tile -= 1
+    tile = _pick_tile(B, tile)
 
     # Pad the primal dimension to a recursion-friendly power-of-two size.
     # K gains an identity block (its inverse is exact and decoupled:
@@ -317,13 +324,18 @@ def _iterate_fused(K, q, d, es, rho, l, u, P0, x0, z0, y0,
     return x[:, :n], y
 
 
-def iterate_fused(ops, P0: jnp.ndarray, cfg, init=None, fused_tile: int = 16):
+def iterate_fused(ops, P0: jnp.ndarray, cfg, init=None,
+                  fused_tile: int | None = None):
     """Invert-and-iterate in one kernel.  ``ops.Kinv`` must hold the
     UN-inverted scaled KKT matrix K (``admm_fast.setup(..., invert=False)``).
 
-    ``fused_tile`` defaults smaller than the iterate-only kernel's tile: the
-    in-kernel recursion holds K, Kinv and the level temporaries at once
-    (~5x the iterate-only working set per scenario).
+    ``fused_tile`` defaults by problem size: the in-kernel recursion holds
+    K, Kinv and the level temporaries at once (~5x the iterate-only working
+    set per scenario), and the kernel's VMEM stack scales with
+    ``tile * n_pad^2`` — 16 scenarios/tile at the h=10 size (n_pad = 128,
+    measured best of {8,16,32}; 32 blows the 16 MB scoped-VMEM budget) and
+    inversely with ``(n_pad/128)^2`` beyond (h=16's n_pad = 256 needs
+    tile 4).
     """
     B, n = ops.q.shape
     m = ops.es.shape[-1]
@@ -334,6 +346,9 @@ def iterate_fused(ops, P0: jnp.ndarray, cfg, init=None, fused_tile: int = 16):
             jnp.zeros((B, m), jnp.float32),
         )
     x0, z0, y0 = init
+    if fused_tile is None:
+        np_ = _pow2_pad(n)
+        fused_tile = max(8, (16 * 128 * 128) // (np_ * np_))
     return _iterate_fused(
         ops.Kinv, ops.q, ops.d, ops.es, ops.rho, ops.l, ops.u, P0,
         x0, z0, y0,
