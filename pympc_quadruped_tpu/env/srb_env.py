@@ -78,7 +78,7 @@ def observe(robot: RobotParams, state: SrbState) -> kin.RobotObs:
     v_rel = (state.foot_vel - state.vel[None, :]) @ R - jnp.cross(
         jnp.broadcast_to(state.omega_body, (4, 3)), p_bf
     )
-    qdot_legs = jnp.linalg.solve(J, v_rel[..., None])[..., 0]
+    qdot_legs = lie.solve3(J, v_rel)
     return kin.RobotObs(
         pos_base=state.pos,
         lin_vel_base=state.vel,
@@ -190,7 +190,7 @@ def physics_step(
     I_world = R @ robot.inertia @ R.T
     omega_world = R @ state.omega_body
     # Euler's equation with gyroscopic term.
-    domega_world = jnp.linalg.solve(
+    domega_world = lie.solve3(
         I_world, torque_world - jnp.cross(omega_world, I_world @ omega_world)
     )
     omega_world = omega_world + dt * domega_world

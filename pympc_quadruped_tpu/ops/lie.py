@@ -83,6 +83,38 @@ def skew(v: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def solve3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 linear solve via the adjugate (Cramer), batched over
+    leading axes.
+
+    The hot control/physics ticks solve many tiny (...,3,3) systems (leg
+    Jacobian rates, world-inertia Euler step); ``jnp.linalg.solve`` lowers
+    those through a generic LU path that dominates the per-tick cost on
+    TPU, while the adjugate is ~40 fused elementwise ops.  Fine for the
+    well-conditioned 3x3s here (leg Jacobians away from singularity,
+    SPD inertias); NOT a general replacement for ill-conditioned systems.
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    inv_det = 1.0 / det
+    x0 = (c00 * b0 + c10 * b1 + c20 * b2) * inv_det
+    x1 = (c01 * b0 + c11 * b1 + c21 * b2) * inv_det
+    x2 = (c02 * b0 + c12 * b1 + c22 * b2) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 def rot_x(theta: jnp.ndarray) -> jnp.ndarray:
     c, s = jnp.cos(theta), jnp.sin(theta)
     one = jnp.ones_like(c)

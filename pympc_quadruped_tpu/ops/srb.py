@@ -51,6 +51,11 @@ def state_space(
     """
     Rz = lie.rot_z(yaw)
     inertia_world = Rz @ robot.inertia @ Rz.T
+    # NOTE: kept as linalg.inv deliberately. lie.inv3 here is ~1e-7 different
+    # and the full-order closed-loop trots are sensitive enough that stumble
+    # timing moves (r3 measured); this inverse runs once per SOLVE (not per
+    # tick), so the adjugate's savings are immaterial anyway — the per-tick
+    # hot path uses lie.solve3 (env/srb_env.py).
     inv_inertia = jnp.linalg.inv(inertia_world)
 
     Ac = jnp.zeros((NUM_STATE, NUM_STATE), dtype=jnp.float32)
