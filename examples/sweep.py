@@ -168,8 +168,9 @@ def main():
     for k, v in series.items():
         print(f"  {k}: last={float(v[-1]):.4f} mean={float(np.mean(v)):.4f}")
 
-    if gait_ids is not None and stop_at == n_chunks:
-        # Per-gait survival/tracking over the final chunk's end state.
+    if gait_ids is not None and stop_at == n_chunks and jax.process_count() == 1:
+        # Per-gait survival/tracking over the final chunk's end state
+        # (single-host report; multi-host sweeps read the logged metrics).
         import numpy as _np
 
         env = jax.device_get(sweep_state["env"])

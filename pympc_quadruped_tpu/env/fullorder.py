@@ -44,7 +44,7 @@ from pympc_quadruped_tpu.models.mpc import MpcParams
 from pympc_quadruped_tpu.models.robots import RobotParams
 from pympc_quadruped_tpu.control import controller as ctrl
 from pympc_quadruped_tpu.env import terrain as terrain_lib
-from pympc_quadruped_tpu.ops import gaitsched, kin, lie, rbd
+from pympc_quadruped_tpu.ops import kin, lie, rbd
 
 
 def rbd_model(robot: RobotParams, spec) -> rbd.RbdModel:
