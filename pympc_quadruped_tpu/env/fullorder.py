@@ -340,6 +340,7 @@ def rollout(
     estimator=None,
     sensor_noise=None,
     key=None,
+    cmd_ramp_ticks: int | None = None,
 ):
     """Batched closed-loop torque-driven rollout under ``lax.scan``.
 
@@ -355,6 +356,10 @@ def rollout(
       height under each foot;
     - ``auto_reset``: per-scenario divergence detection + snap-back to the
       initial state (off by default to preserve raw dynamics studies);
+    - ``cmd_ramp_ticks``: linear command spin-up from standstill
+      (``Command.ramped``) — the full-order step transient is knife-edge
+      (see the method's docstring for the r3 measurements); default off to
+      match the reference's instant command step;
     - ``estimator``: drive the controller from the two-stage KF on noisy
       IMU/encoder sensors, gated by MEASURED foot contact (normal force
       > 1 N) — the real contact timing of the articulated dynamics, not the
@@ -447,8 +452,11 @@ def rollout(
         else:
             c_carry = inner
             obs = jax.vmap(observe)(robot_b, env_state)
+        cmd_eff = (
+            cmd_b if cmd_ramp_ticks is None else cmd_b.ramped(k, cmd_ramp_ticks)
+        )
         c_carry, out = ctrl.step_batch(
-            robot_b, mpc, gait_b, cmd_b, c_carry, obs, k, solver=solver
+            robot_b, mpc, gait_b, cmd_eff, c_carry, obs, k, solver=solver
         )
         if terrain is not None:
             env_state, f_feet = jax.vmap(
@@ -482,7 +490,7 @@ def rollout(
 
         R = jax.vmap(lie.quat_to_rotmat)(env_state.quat)
         v_world = jnp.einsum("bij,bj->bi", R, env_state.u[:, 3:6])
-        vel_des = jnp.einsum("bij,bj->bi", R, cmd_b.vel_base_des)
+        vel_des = jnp.einsum("bij,bj->bi", R, cmd_eff.vel_base_des)
         metrics = {
             "vel_err": jnp.linalg.norm(v_world[:, :2] - vel_des[:, :2], axis=-1),
             "height": env_state.pos[:, 2],

@@ -285,6 +285,7 @@ def rollout(
     carry_in=None,
     tick0=0,
     return_full_carry: bool = False,
+    cmd_ramp_ticks: int | None = None,
 ):
     """Closed-loop batched rollout under ``lax.scan``.
 
@@ -348,8 +349,11 @@ def rollout(
         else:
             env_state, c_carry = carry
             obs = jax.vmap(observe)(robot, env_state)
+        cmd_eff = (
+            cmd if cmd_ramp_ticks is None else cmd.ramped(tick, cmd_ramp_ticks)
+        )
         c_carry, out = ctrl.step_batch(
-            robot, mpc, gait, cmd, c_carry, obs, tick, solver=solver
+            robot, mpc, gait, cmd_eff, c_carry, obs, tick, solver=solver
         )
         # World-frame swing-foot desired positions from the base-frame targets.
         swing_pos_world = env_state.pos[:, None, :] + jnp.einsum(
@@ -384,7 +388,9 @@ def rollout(
                 env_state = pick(init_state, env_state)
                 new_carry = pick(carry0, new_carry)
 
-        vel_des_world = jnp.einsum("bij,bj->bi", out.kin.R_base, cmd.vel_base_des)
+        vel_des_world = jnp.einsum(
+            "bij,bj->bi", out.kin.R_base, cmd_eff.vel_base_des
+        )
         metrics = {
             "vel_err": jnp.linalg.norm(env_state.vel - vel_des_world, axis=-1),
             "height": env_state.pos[:, 2],

@@ -23,3 +23,22 @@ class Command:
             vel_base_des=jnp.array([vx, 0.0, 0.0], dtype=jnp.float32),
             yaw_turn_rate=jnp.float32(0.0),
         )
+
+    def ramped(self, tick, ramp_ticks) -> "Command":
+        """The command scaled by ``min(1, tick/ramp_ticks)`` — a linear
+        spin-up from standstill, what a joystick operator does on hardware.
+
+        The reference steps its hard-coded command instantly; both rollout
+        envs keep that default.  Measured (r3, full-order env): every trot
+        speed 0.6-1.4 m/s is stable in steady state, but the standstill
+        STEP transient is knife-edge (1.2 m/s dips to upright 0.86; exactly
+        1.0 m/s tips over), while ramped — or stepped from a walking state
+        — the same speeds hold upright_min > 0.99.
+        """
+        s = jnp.clip(
+            tick.astype(jnp.float32) / jnp.float32(ramp_ticks), 0.0, 1.0
+        )
+        return Command(
+            vel_base_des=self.vel_base_des * s,
+            yaw_turn_rate=self.yaw_turn_rate * s,
+        )

@@ -267,6 +267,30 @@ def test_fullorder_auto_reset_recovers_poisoned_scenario():
     assert up[-300:, 0].min() > 0.9, "well-posed scenario degraded by neighbor"
 
 
+def test_fullorder_step_transient_envelope():
+    """The r3 finding pinned: the standstill->speed STEP is the only
+    fragile phase of the full-order trot (steady state is stable at every
+    speed 0.6-1.4).  A 0.5 s command ramp (``Command.ramped``) restores
+    robust margins at the worst-case step speed (1.0 m/s tips over when
+    stepped; MuJoCo's implicit solver absorbs the same step)."""
+    B = 1
+    mpc = MpcParams(horizon=10)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
+    )
+    robot = tile(aliengo())
+    gait = tile(Gaits.trotting10())
+    cmd = tile(Command.trot_forward(1.0))
+    (_, _), metrics = fullorder.rollout(
+        robot, mpc, gait, cmd, num_ticks=2500, cmd_ramp_ticks=500
+    )
+    up = np.asarray(metrics["upright"])
+    ve = np.asarray(metrics["vel_err"])
+    assert not np.asarray(metrics["diverged"]).any()
+    assert up.min() > 0.95, f"ramped 1.0 m/s trot lost attitude: {up.min():.3f}"
+    assert ve[-500:].mean() < 0.1, ve[-500:].mean()
+
+
 def test_fullorder_closed_loop_trot():
     """The torque-driven full-order loop holds a 1.2 m/s trot — the
     capability the reference delegates to IsaacGym, batched on device."""
