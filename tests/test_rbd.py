@@ -291,6 +291,32 @@ def test_fullorder_step_transient_envelope():
     assert ve[-500:].mean() < 0.1, ve[-500:].mean()
 
 
+def test_fullorder_closed_loop_pace():
+    """PACING holds up under full articulated physics (lateral leg pairs —
+    dynamically unstable in roll between steps).  The reference never
+    demonstrates any non-trot gait in a physics simulator; bounding remains
+    SRB-only here too (its flight-phase pitch cycle defeats the linear SRB
+    MPC under real leg dynamics — and the reference ships bounding
+    commented out entirely, ref gait.py:20)."""
+    B = 1
+    mpc = MpcParams(horizon=10)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
+    )
+    robot = tile(aliengo())
+    gait = tile(Gaits.by_name("pacing10"))
+    cmd = tile(Command.trot_forward(0.8))
+    (state, _), metrics = fullorder.rollout(
+        robot, mpc, gait, cmd, num_ticks=3000, cmd_ramp_ticks=500
+    )
+    up = np.asarray(metrics["upright"])
+    ve = np.asarray(metrics["vel_err"])
+    assert not np.asarray(metrics["diverged"]).any()
+    assert up.min() > 0.95, f"pace lost attitude: {up.min():.3f}"
+    assert ve[-500:].mean() < 0.15, ve[-500:].mean()
+    assert float(state.pos[0, 0]) > 1.5, "pace did not locomote"
+
+
 def test_fullorder_closed_loop_trot():
     """The torque-driven full-order loop holds a 1.2 m/s trot — the
     capability the reference delegates to IsaacGym, batched on device."""
