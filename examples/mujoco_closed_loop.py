@@ -138,7 +138,8 @@ def make_kf_estimator(robot_name, init_pos):
     return estimate
 
 
-def make_oracle_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0):
+def make_oracle_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0,
+                           gait_name="trotting10"):
     from pympc_quadruped_tpu.oracle import npref
 
     params = (
@@ -147,7 +148,7 @@ def make_oracle_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0):
     ctrl = npref.OracleController(
         params,
         npref.OracleConfig(horizon=horizon),
-        npref.OracleGait.trotting10(),
+        npref.OracleGait.by_name(gait_name),
     )
 
     def step(obs, tick):
@@ -157,7 +158,8 @@ def make_oracle_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0):
     return step
 
 
-def make_jax_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0):
+def make_jax_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0,
+                        gait_name="trotting10"):
     import jax
     import jax.numpy as jnp
     from pympc_quadruped_tpu.models.command import Command
@@ -171,7 +173,7 @@ def make_jax_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0):
     tile = lambda t: jax.tree.map(lambda x: jnp.asarray(x)[None], t)
     params = aliengo() if robot_name == "aliengo" else a1()
     command = Command.trot_forward(vx).replace(yaw_turn_rate=jnp.float32(yaw_rate))
-    robot, gait, cmd = tile(params), tile(Gaits.trotting10()), tile(command)
+    robot, gait, cmd = tile(params), tile(Gaits.by_name(gait_name)), tile(command)
     carry = tile(ctl.init_carry(mpc.horizon))
     step_fn = jax.jit(
         lambda c, o, t: ctl.step_batch(robot, mpc, gait, cmd, c, o, t)
@@ -195,7 +197,7 @@ def make_jax_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0):
 
 def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
         robot="aliengo", vx=None, xml=None, sensors="truth", yaw_rate=0.0,
-        render=None, render_fps=30):
+        render=None, render_fps=30, gait="trotting10"):
     """``render``: path of an offscreen-rendered GIF of the run (the
     publishable artifact matching the reference's
     ``doc/results/trotting10_mujoco.gif``).  Uses ``mujoco.Renderer`` with a
@@ -217,9 +219,9 @@ def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
     mujoco.mj_step(model, data)  # settle one step, like the reference (ref :167)
 
     step_fn = (
-        make_oracle_controller(horizon, robot, vx, yaw_rate)
+        make_oracle_controller(horizon, robot, vx, yaw_rate, gait)
         if controller == "oracle"
-        else make_jax_controller(horizon, robot, vx, yaw_rate)
+        else make_jax_controller(horizon, robot, vx, yaw_rate, gait)
     )
     estimator = None
     if sensors == "raw":
@@ -326,7 +328,11 @@ if __name__ == "__main__":
     )
     ap.add_argument("--render", default=None,
                     help="write an offscreen-rendered GIF of the run here")
+    ap.add_argument("--gait", default="trotting10",
+                    help="any library gait (ref mujoco_aliengo.py:176 could "
+                         "run any gait too): trotting10/16, pacing10/16, "
+                         "bounding8, jumping16, standing")
     args = ap.parse_args()
     run(args.controller, args.seconds, args.horizon, args.record,
         robot=args.robot, vx=args.vx, xml=args.xml, sensors=args.sensors,
-        yaw_rate=args.yaw_rate, render=args.render)
+        yaw_rate=args.yaw_rate, render=args.render, gait=args.gait)

@@ -179,6 +179,31 @@ class OracleGait:
     def pacing10():
         return OracleGait(10, np.array([5, 0, 5, 0]), np.array([5, 5, 5, 5]))
 
+    @staticmethod
+    def pacing16():
+        return OracleGait(16, np.array([8, 0, 8, 0]), np.array([8, 8, 8, 8]))
+
+    @staticmethod
+    def jumping16():
+        return OracleGait(16, np.zeros(4, int), np.full(4, 4))
+
+    @staticmethod
+    def bounding8():
+        return OracleGait(8, np.array([4, 4, 0, 0]), np.array([4, 4, 4, 4]))
+
+    @staticmethod
+    def by_name(name: str) -> "OracleGait":
+        """Same library as the JAX side (ref linear_mpc/gait.py:16-22)."""
+        return {
+            "standing": OracleGait.standing,
+            "trotting10": OracleGait.trotting10,
+            "trotting16": OracleGait.trotting16,
+            "pacing10": OracleGait.pacing10,
+            "pacing16": OracleGait.pacing16,
+            "jumping16": OracleGait.jumping16,
+            "bounding8": OracleGait.bounding8,
+        }[name]()
+
 
 # ---------------------------------------------------------------- kinematics
 

@@ -76,6 +76,22 @@ def test_a1_trot_kf_raw_sensors():
     assert 0.3 < res["mean_height_last_2s"] < 0.43, res
 
 
+@pytest.mark.parametrize(
+    "gait,vx,min_vx",
+    [("pacing10", 0.8, 0.6), ("bounding8", 0.6, 0.45)],
+)
+def test_aliengo_nontrot_gaits_e2e(gait, vx, min_vx):
+    """Pacing AND bounding complete in the full MuJoCo sim — gaits the
+    reference defines (ref ``linear_mpc/gait.py:16-22``; bounding shipped
+    commented out, :20) but never demonstrates in any simulator.
+    (jumping16's 0.6 s flight phase falls in MuJoCo too — beyond the
+    linear SRB MPC, not a port gap.)"""
+    res = run(controller="oracle", gait=gait, vx=vx, seconds=2.5, verbose=False)
+    assert res["completed"], res
+    assert 0.33 < res["mean_height_last_2s"] < 0.45, res
+    assert res["mean_vx_last_2s"] > min_vx, res
+
+
 def test_aliengo_trot_e2e_jax_engine():
     """Closed loop on the SHIPPING f32 engine inside the MuJoCo oracle sim
     (measured ~14 s on this host — cheap enough for CI; it was gated as
