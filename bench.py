@@ -136,6 +136,8 @@ def _retry(fn, attempts=3, label=""):
             )
             if not transient or i == attempts - 1:
                 raise
+            print(f"# retrying {label or 'bench step'} after transient "
+                  f"tunnel error: {msg[:80]}", file=sys.stderr)
             time.sleep(5.0 * (i + 1))
     raise last
 

@@ -25,11 +25,18 @@ model PhysX/MuJoCo regularized solvers approximate).  Gains are set for
 stability at dt = 1 ms given the light foot links (the reflected knee
 armature dominates the foot-point effective mass).
 
-Robot support status: Aliengo trots stably under the reference config
-(tests/test_rbd.py); A1 trots stably under :func:`a1_env_config`
-(tests/test_rbd.py::test_a1_fullorder_closed_loop_trot), which adapts three
-reference quirks that are tuned for the reference's own simulators rather
-than physical A1 (see the function docstring).
+Robot/gait support status (all closed-loop tested, tests/test_rbd.py):
+Aliengo trots at 1.2 m/s under the reference config and PACES at 0.8 m/s
+(the reference never demonstrates a non-trot gait in any physics sim); A1
+trots under :func:`a1_env_config`, which adapts three reference quirks
+tuned for the reference's own simulators rather than physical A1 (see the
+function docstring).  Bounding is SRB-env-only: its flight-phase pitch
+cycle defeats the linear SRB MPC under real leg dynamics here, though the
+same controller BOUNDS in MuJoCo's implicit solver
+(tests/test_mujoco_e2e.py::test_aliengo_nontrot_gaits_e2e) — and the
+reference ships bounding commented out entirely (ref gait.py:20).
+Standstill->speed command STEPS are the fragile phase at every speed;
+``cmd_ramp_ticks`` (a 0.5 s ramp) restores robust margins (r3 study).
 """
 from __future__ import annotations
 
