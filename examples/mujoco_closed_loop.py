@@ -31,6 +31,10 @@ if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
 
     jax.config.update("jax_platforms", "cpu")
 
+# MuJoCo's bindings choose the GL backend at import time; pre-set EGL so the
+# offscreen --render path works headless (harmless when not rendering).
+os.environ.setdefault("MUJOCO_GL", "egl")
+
 import mujoco
 import numpy as np
 
@@ -231,7 +235,6 @@ def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
     log = {"t": [], "pos": [], "vel": [], "obs": [], "forces": [], "torques": []}
     renderer, frames, frame_every = None, [], max(1, 1000 // render_fps)
     if render is not None:
-        os.environ.setdefault("MUJOCO_GL", "egl")
         renderer = mujoco.Renderer(model, 480, 640)
         cam = mujoco.MjvCamera()
         cam.type = mujoco.mjtCamera.mjCAMERA_TRACKING

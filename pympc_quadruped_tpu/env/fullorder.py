@@ -409,18 +409,27 @@ def rollout(
             sensor_noise = srb_env.SensorNoise.default()
         if key is None:
             key = jax.random.PRNGKey(0)
-        feet0, _, _ = jax.vmap(foot_kinematics)(robot_b, state0)
+        feet0, vfeet0, _ = jax.vmap(foot_kinematics)(robot_b, state0)
         kf0 = jax.vmap(lambda s, f: kf.KfState.init(s.pos, f))(state0, feet0)
         R0 = jax.vmap(lie.quat_to_rotmat)(state0.quat)
         vworld0 = jnp.einsum("bij,bj->bi", R0, state0.u[:, 3:6])
-        carry0 = (carry0, kf0, vworld0)
+        if terrain is not None:
+            gz0 = jax.vmap(lambda t, p: terrain_lib.height_at(t, p[:, :2]))(
+                terrain, feet0
+            )
+        else:
+            gz0 = jnp.zeros((B, 4), jnp.float32)
+        f0 = jax.vmap(contact_forces, in_axes=(None, 0, 0, 0))(
+            cp, feet0, vfeet0, gz0
+        )
+        carry0 = (carry0, kf0, vworld0, f0)
 
     dt = jnp.float32(mpc.dt_control)
 
     def tick_fn(carry, k):
         env_state, inner = carry
         if use_kf:
-            c_carry, kf_state, prev_vworld = inner
+            c_carry, kf_state, prev_vworld, prev_f_feet = inner
             # IMU/encoder synthesis from the articulated state.  Specific
             # force = trunk acceleration + g, in the body frame: the finite
             # difference of the world velocity over the last step is the
@@ -438,18 +447,11 @@ def rollout(
             accel = a_spec + n(keys[1], (3,), sensor_noise.accel)
             q_m = env_state.q + n(keys[2], (12,), sensor_noise.encoder_q)
             qd_m = env_state.u[:, 6:] + n(keys[3], (12,), sensor_noise.encoder_qd)
-            # MEASURED contact gating: feet with real normal force.
-            p_feet, v_feet, _ = jax.vmap(foot_kinematics)(robot_b, env_state)
-            if terrain is not None:
-                gz = jax.vmap(lambda t, p: terrain_lib.height_at(t, p[:, :2]))(
-                    terrain, p_feet
-                )
-            else:
-                gz = jnp.zeros((B, 4), jnp.float32)
-            f_now = jax.vmap(contact_forces, in_axes=(None, 0, 0, 0))(
-                cp, p_feet, v_feet, gz
-            )
-            touch = (f_now[:, :, 2] > 1.0).astype(jnp.float32)
+            # MEASURED contact gating: feet with real normal force from the
+            # LAST physics step (threaded through the carry, like every
+            # other sensor here is a last-step quantity) — no duplicate
+            # FK/contact evaluation per tick.
+            touch = (prev_f_feet[:, :, 2] > 1.0).astype(jnp.float32)
             kf_state = jax.vmap(
                 lambda st, r, g_, a_, qm, qdm, c: kf.update(
                     st, r, g_, a_, qm, qdm, c, estimator
@@ -482,7 +484,7 @@ def rollout(
         if use_kf:
             R_new = jax.vmap(lie.quat_to_rotmat)(env_state.quat)
             vworld_new = jnp.einsum("bij,bj->bi", R_new, env_state.u[:, 3:6])
-            new_inner = (c_carry, kf_state, vworld_new)
+            new_inner = (c_carry, kf_state, vworld_new, f_feet)
         else:
             new_inner = c_carry
         if auto_reset:

@@ -36,7 +36,7 @@ class Command:
         — the same speeds hold upright_min > 0.99.
         """
         s = jnp.clip(
-            tick.astype(jnp.float32) / jnp.float32(ramp_ticks), 0.0, 1.0
+            jnp.asarray(tick, jnp.float32) / jnp.float32(ramp_ticks), 0.0, 1.0
         )
         return Command(
             vel_base_des=self.vel_base_des * s,

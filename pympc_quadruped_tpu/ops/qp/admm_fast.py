@@ -280,7 +280,12 @@ def spd_inverse(K: jnp.ndarray, newton_schulz_iters: int = 1) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 class AdmmOperands(NamedTuple):
-    Kinv: jnp.ndarray   # (B,n,n) inverse of scaled H + sigma I + A^T rho A
+    # CONTRACT: with setup(invert=True) this holds K^-1 and must go to
+    # iterate()/iterate_jnp(); with invert=False it holds K ITSELF and must
+    # go to admm_pallas.iterate_fused (which inverts in VMEM).  solve_batch
+    # is the only dispatcher and keeps the pairing; external callers of
+    # setup() must do the same.
+    Kinv: jnp.ndarray   # (B,n,n): inverse of (scaled H + sigma I + A^T rho A), or K itself (see above)
     q: jnp.ndarray      # (B,n) scaled gradient
     d: jnp.ndarray      # (B,n) variable scaling (x = d * x_scaled)
     es: jnp.ndarray     # (B,m) row scaling * stance gate

@@ -131,6 +131,9 @@ def _iterate(Kinv, q, d, es, rho, l, u, P0, x0, z0, y0,
 # recursion runs on VMEM-resident tiles, and HBM traffic for the whole
 # solve drops to one pass over K.
 
+# All in-kernel dots run HIGHEST: a DEFAULT-precision experiment on the
+# cone-pattern products (r3) bought only 3% wall while pushing the cost
+# gap to 3.2e-5 (gate 2e-5) and cone violations to the gate edge.
 _PREC_HI = jax.lax.Precision.HIGHEST
 
 
@@ -250,14 +253,14 @@ def _fused_kernel(K_ref, q_ref, d_ref, es_ref, rho_ref, l_ref, u_ref,
 
 
 def _pick_tile(B: int, want: int) -> int:
-    """Largest divisor of B <= want that Mosaic accepts for 2-D blocks:
-    a multiple of 8 (sublane) or the full batch itself."""
-    t = min(want, B)
-    while B % t or (t % 8 and t != B):
-        t -= 1
-        if t == 0:
-            return B
-    return t
+    """A Mosaic-legal tile for batch B near ``want``: a divisor of B that
+    is a multiple of 8 (sublane requirement for 2-D blocks) or B itself.
+    Prefers the largest such divisor <= want; if none exists (e.g. want=4,
+    or an odd B), falls back to the SMALLEST legal divisor — never silently
+    the whole batch, whose single-tile VMEM footprint can be ~50 MB."""
+    legal = [t for t in range(1, B + 1) if B % t == 0 and (t % 8 == 0 or t == B)]
+    below = [t for t in legal if t <= want]
+    return max(below) if below else min(legal)
 
 
 def _pow2_pad(n: int, leaf: int = 16) -> int:
@@ -331,11 +334,13 @@ def iterate_fused(ops, P0: jnp.ndarray, cfg, init=None,
 
     ``fused_tile`` defaults by problem size: the in-kernel recursion holds
     K, Kinv and the level temporaries at once (~5x the iterate-only working
-    set per scenario), and the kernel's VMEM stack scales with
-    ``tile * n_pad^2`` — 16 scenarios/tile at the h=10 size (n_pad = 128,
-    measured best of {8,16,32}; 32 blows the 16 MB scoped-VMEM budget) and
-    inversely with ``(n_pad/128)^2`` beyond (h=16's n_pad = 256 needs
-    tile 4).
+    set per scenario), and the kernel's VMEM stack grows with
+    ``tile * n_pad^2`` — 16 scenarios/tile at the h=10 size (n_pad = 128;
+    measured best of {8,16,24,32}: 8 = 64.6 ms, 16 = 52.0, 24 = 52.6, 32
+    blows the 16 MB scoped-VMEM budget) and scaled down by
+    ``(128/n_pad)^2`` beyond, floored at the sublane-minimum 8 (h=16's
+    n_pad = 256 compiles and passes parity at tile 8 on v5e — the stack
+    does not scale purely as tile*n_pad^2).
     """
     B, n = ops.q.shape
     m = ops.es.shape[-1]

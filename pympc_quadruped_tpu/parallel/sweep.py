@@ -71,6 +71,34 @@ def mixed_gait_batch(names: list[str], batch: int):
     return gait_b, cmd_b, ids
 
 
+@partial(jax.jit, static_argnames=("num_ticks", "n_g", "solver"))
+def _gait_sweep_run(robot_b, mpc, gait_b, cmd_b, ids, num_ticks, n_g, solver):
+    """Jitted core of :func:`gait_sweep` — module-level so repeated sweeps
+    (and benchmark warm-up vs timed runs) hit the jit cache instead of
+    recompiling a fresh closure per call."""
+    (env_state, _), metrics = srb_env.rollout(
+        robot_b, mpc, gait_b, cmd_b, num_ticks, solver=solver,
+        auto_reset=False,
+    )
+    onehot = jax.nn.one_hot(ids, n_g, dtype=jnp.float32)          # (B,n_g)
+    count = jnp.maximum(onehot.sum(axis=0), 1.0)
+    per = lambda v: (v @ onehot) / count                          # (B,)->(n_g,)
+
+    tail = metrics["vel_err"][-num_ticks // 4:]
+    upright_tail = metrics["upright"][-num_ticks // 4:]
+    alive = (
+        (env_state.pos[:, 2] > 0.1)
+        & (env_state.pos[:, 2] < 1.0)
+        & (upright_tail.min(axis=0) > 0.6)
+        & ~metrics["diverged"].any(axis=0)
+    ).astype(jnp.float32)
+    return env_state, {
+        "survival_frac": per(alive),
+        "mean_vel_err": per(tail.mean(axis=0)),
+        "fwd_disp_m": per(env_state.pos[:, 0]),
+    }
+
+
 def gait_sweep(
     robot_b: RobotParams,
     mpc: MpcParams,
@@ -94,33 +122,10 @@ def gait_sweep(
     robot_b, gait_b, cmd_b, ids = mesh_lib.shard_batch(
         (robot_b, gait_b, cmd_b, ids), mesh
     )
-    n_g = len(names)
-
-    @jax.jit
-    def run(robot_b, gait_b, cmd_b, ids):
-        (env_state, _), metrics = srb_env.rollout(
-            robot_b, mpc, gait_b, cmd_b, num_ticks, solver=solver,
-            auto_reset=False,
-        )
-        onehot = jax.nn.one_hot(ids, n_g, dtype=jnp.float32)      # (B,n_g)
-        count = jnp.maximum(onehot.sum(axis=0), 1.0)
-        per = lambda v: (v @ onehot) / count                      # (B,)->(n_g,)
-
-        tail = metrics["vel_err"][-num_ticks // 4:]
-        upright_tail = metrics["upright"][-num_ticks // 4:]
-        alive = (
-            (env_state.pos[:, 2] > 0.1)
-            & (env_state.pos[:, 2] < 1.0)
-            & (upright_tail.min(axis=0) > 0.6)
-            & ~metrics["diverged"].any(axis=0)
-        ).astype(jnp.float32)
-        return env_state, {
-            "survival_frac": per(alive),
-            "mean_vel_err": per(tail.mean(axis=0)),
-            "fwd_disp_m": per(env_state.pos[:, 0]),
-        }
-
-    env_state, stats = run(robot_b, gait_b, cmd_b, ids)
+    env_state, stats = _gait_sweep_run(
+        robot_b, mpc, gait_b, cmd_b, ids,
+        num_ticks=num_ticks, n_g=len(names), solver=solver,
+    )
     per_gait = {
         n: {k: float(v[i]) for k, v in stats.items()}
         for i, n in enumerate(names)

@@ -46,7 +46,7 @@ def test_admm_fast_matches_ipm_on_solve_tick():
     """The production solver and the parity IPM agree on the strongly-
     determined content of the solve (total vertical support, force scale).
 
-    Three bars: the in-loop DEFAULT (warm-started preset, 30 iterations —
+    Three bars: the in-loop DEFAULT (warm-started preset, 40 iterations —
     here hit COLD because the carry is empty, the worst tick it ever sees)
     must land within 5%; the cold preset (80 iterations) within 1%; a
     converged run (320) within 0.2%.  After the first tick the default
