@@ -149,8 +149,42 @@ def main(pid: int, nprocs: int, port: int, outdir: str) -> None:
             float(np.max(np.abs(np.asarray(s_new.data) - np.asarray(s_old.data)))),
         )
 
+    # 6. A sharded CLOSED-LOOP sweep chunk across the two "hosts" (the
+    # production surface of examples/sweep.py): thread the full loop state
+    # through two chunks and check the cross-host metric reduction.
+    from pympc_quadruped_tpu.env import srb_env
+    from pympc_quadruped_tpu.models.command import Command
+
+    gait_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), gait)
+    cmd_b = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), Command.trot_forward(0.8)
+    )
+    robot_s2, gait_s, cmd_s = mesh_lib.shard_global_batch(
+        (robot, gait_b, cmd_b), mesh
+    )
+    env0 = jax.vmap(srb_env.default_init_state)(robot_s2)
+    carry = srb_env.init_full_carry(robot_s2, mpc, env0)
+    env_state, tick0 = env0, 0
+    vel_err_means = []
+    for _ in range(2):
+        (env_state, carry), metrics = srb_env.rollout(
+            robot_s2, mpc, gait_s, cmd_s, num_ticks=40,
+            init_state=env_state, carry_in=carry, tick0=tick0,
+            return_full_carry=True,
+        )
+        tick0 += 40
+        vel_err_means.append(
+            float(jax.jit(lambda m: jnp.mean(m))(metrics["vel_err"]))  # all-reduce
+        )
+    rollout_ok = bool(
+        np.isfinite(vel_err_means).all()
+        and float(jax.jit(lambda s: jnp.mean(s.pos[:, 2]))(env_state)) > 0.2
+    )
+
     out = {
         "pid": pid,
+        "rollout_ok": rollout_ok,
+        "rollout_vel_err": vel_err_means,
         "devices": len(jax.devices()),
         "per_host_batch": launch.per_host_batch(B),
         "shard_err": shard_err,
@@ -160,6 +194,8 @@ def main(pid: int, nprocs: int, port: int, outdir: str) -> None:
         "ckpt_count": int(restored["step_count"]),
         "restore_err": restore_err,
         "ok": bool(
+            rollout_ok
+            and
             # Bars are set at fixed-iteration-solver reproducibility level
             # (cold 80-iteration ADMM, measured ~0.2-0.5 N between batch
             # groupings); real sharding corruption (wrong/missing rows)
