@@ -172,3 +172,30 @@ def test_pallas_matches_jnp_quality(backend):
     gap = _cost_gap(H64 * np.outer(mv, mv) + np.diag(1 - mv), g64 * mv, U, U_star * mv)
     scale = abs(0.5 * U_star @ H64 @ U_star + g64 @ U_star) + 1.0
     assert gap / scale < 1e-5
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="Pallas TPU kernel needs a TPU"
+)
+def test_fused_kernel_randomization_stress():
+    """The in-VMEM Schur inversion holds across heavy domain randomization
+    (mass/inertia x e^{+-0.8} ~ 0.45-2.2x): no NaN, plausible support
+    forces.  The recursion's conditioning safety margins (Ruiz scaling +
+    symmetrization + Newton-Schulz) are exactly what this exercises."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import build_inputs
+    from pympc_quadruped_tpu import engine
+    from pympc_quadruped_tpu.parallel import sweep as psweep
+
+    B = 512
+    robot, mpc, x_t, yaw, feet, X_ref, tables = build_inputs(B, 10, seed=21)
+    rb = psweep.randomized_robots(
+        robot, B, jax.random.PRNGKey(3), mass_scale=0.8, inertia_scale=0.8
+    )
+    U = np.asarray(
+        engine.solve_scenarios(rb, mpc, x_t, yaw, feet, X_ref, tables, solver="admm")
+    )
+    assert np.isfinite(U).all()
+    fz = U[:, 2::3].sum(-1)
+    assert 5.0 < fz.min() and fz.max() < 500.0, (fz.min(), fz.max())
