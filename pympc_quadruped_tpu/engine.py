@@ -37,6 +37,8 @@ def solve_scenarios(
     admm_fast_cfg: admm_fast.AdmmFastConfig = admm_fast.AdmmFastConfig(),
     return_full_horizon: bool = False,
     return_diagnostics: bool = False,
+    warm=None,
+    return_duals: bool = False,
 ) -> jnp.ndarray:
     """Batched condensed-QP MPC solve.
 
@@ -53,7 +55,15 @@ def solve_scenarios(
     from :func:`pympc_quadruped_tpu.utils.observability.qp_residuals`
     (primal violation, stationarity scale, finite flags) — cheap enough to
     ride along with production sweeps and be collective-reduced.
+
+    ``warm`` (fast path only): an unscaled ``(U_prev, lam_prev)`` warm start
+    in problem units — typically the receding-horizon shift of the previous
+    solve (see :meth:`admm_fast.AdmmFastConfig.inloop` for the iteration
+    cut it enables).  With ``return_duals`` the row duals ride along AFTER
+    the diagnostics: ``(U[, diag], lam)``; carry them into the next warm.
     """
+    if (warm is not None or return_duals) and solver not in ("admm", "admm_fast"):
+        raise ValueError("warm/return_duals require the fast ADMM path")
     B = x_t.shape[0]
     if jnp.ndim(robot.mass) == 0:
         robot = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + jnp.shape(a)), robot)
@@ -75,15 +85,25 @@ def solve_scenarios(
         )(gait_table, robot)
         U = admm.solve_batch(H, g, A, l, u, admm_cfg)
     else:  # "admm" and its alias "admm_fast" — the fast path
-        U = admm_fast.solve_batch(
-            H, g, gait_table, robot.fz_max, mpc, admm_fast_cfg
-        )
+        lam = None
+        if return_duals:
+            U, lam = admm_fast.solve_batch(
+                H, g, gait_table, robot.fz_max, mpc, admm_fast_cfg,
+                warm=warm, return_duals=True,
+            )
+        else:
+            U = admm_fast.solve_batch(
+                H, g, gait_table, robot.fz_max, mpc, admm_fast_cfg, warm=warm
+            )
 
     U = U * mv
     out = U if return_full_horizon else U[:, :12]
+    results = [out]
     if return_diagnostics:
         from pympc_quadruped_tpu.utils import observability
 
         diag = observability.qp_residuals(H, g, gait_table, robot.fz_max, U, mpc)
-        return out, diag
-    return out
+        results.append(diag)
+    if return_duals:
+        results.append(lam)
+    return results[0] if len(results) == 1 else tuple(results)

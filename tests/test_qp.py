@@ -268,3 +268,64 @@ def test_ipm_nan_knife_edge_regression():
     assert np.all(np.abs(U[..., 1]) <= mu * fz + tol)
     total_fz_per_step = (fz * stance).sum(axis=1)
     assert np.all(total_fz_per_step > 20.0), total_fz_per_step
+
+
+def test_engine_warm_start_roundtrip():
+    """engine.solve_scenarios exposes the warm-start loop: duals ride along
+    and feeding (U, lam) back converges at reduced iteration count (the
+    in-loop preset's contract, AdmmFastConfig.inloop)."""
+    import jax
+    from pympc_quadruped_tpu import engine
+    from pympc_quadruped_tpu.models.gaits import Gaits
+    from pympc_quadruped_tpu.ops import gaitsched
+    from pympc_quadruped_tpu.ops.qp import admm_fast
+
+    B, h = 4, 10
+    mpc = MpcParams(horizon=h)
+    robot = aliengo()
+    gait = Gaits.trotting10()
+    x_t = (
+        jnp.zeros((B, 13), jnp.float32)
+        .at[:, 5].set(0.38).at[:, 12].set(-9.81)
+        .at[:, 9].set(jnp.linspace(0.2, 1.2, B))
+    )
+    yaw = jnp.zeros((B,), jnp.float32)
+    feet = jnp.broadcast_to(
+        jnp.array([[0.24, 0.13, -0.38], [0.24, -0.13, -0.38],
+                   [-0.24, 0.13, -0.38], [-0.24, -0.13, -0.38]], jnp.float32),
+        (B, 4, 3),
+    )
+    X_ref = (
+        jnp.zeros((B, h, 13), jnp.float32)
+        .at[:, :, 5].set(0.38).at[:, :, 12].set(-9.81)
+    )
+    tables = jax.vmap(lambda t: gaitsched.gait_table(gait, mpc, t))(
+        jnp.arange(B, dtype=jnp.int32) * 20
+    )
+
+    U0, lam0 = engine.solve_scenarios(
+        robot, mpc, x_t, yaw, feet, X_ref, tables,
+        solver="admm", return_full_horizon=True, return_duals=True,
+    )
+    assert U0.shape == (B, 12 * h) and lam0.shape == (B, 20 * h)
+
+    # Warm re-solve of the SAME problem at the in-loop iteration count must
+    # land within solver noise of the converged cold solve.
+    U_ref = engine.solve_scenarios(
+        robot, mpc, x_t, yaw, feet, X_ref, tables, solver="admm",
+        return_full_horizon=True,
+        admm_fast_cfg=admm_fast.AdmmFastConfig(iterations=320),
+    )
+    U_warm = engine.solve_scenarios(
+        robot, mpc, x_t, yaw, feet, X_ref, tables, solver="admm",
+        return_full_horizon=True, warm=(U0, lam0),
+        admm_fast_cfg=admm_fast.AdmmFastConfig.inloop(),
+    )
+    fz = lambda U: np.asarray(U)[:, 2::3].reshape(B, h, 4).sum(-1)
+    np.testing.assert_allclose(fz(U_warm), fz(U_ref), atol=3.0)  # ~3% of support
+
+    with pytest.raises(ValueError):
+        engine.solve_scenarios(
+            robot, mpc, x_t, yaw, feet, X_ref, tables, solver="ipm",
+            warm=(U0, lam0),
+        )
