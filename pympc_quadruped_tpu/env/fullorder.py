@@ -26,17 +26,17 @@ stability at dt = 1 ms given the light foot links (the reflected knee
 armature dominates the foot-point effective mass).
 
 Robot/gait support status (all closed-loop tested, tests/test_rbd.py):
-Aliengo trots at 1.2 m/s under the reference config and PACES at 0.8 m/s
-(the reference never demonstrates a non-trot gait in any physics sim); A1
-trots under :func:`a1_env_config`, which adapts three reference quirks
-tuned for the reference's own simulators rather than physical A1 (see the
-function docstring).  Bounding is SRB-env-only: its flight-phase pitch
-cycle defeats the linear SRB MPC under real leg dynamics here, though the
-same controller BOUNDS in MuJoCo's implicit solver
-(tests/test_mujoco_e2e.py::test_aliengo_nontrot_gaits_e2e) — and the
-reference ships bounding commented out entirely (ref gait.py:20).
-Standstill->speed command STEPS are the fragile phase at every speed;
-``cmd_ramp_ticks`` (a 0.5 s ramp) restores robust margins (r3 study).
+Aliengo TROTS at 1.2 m/s under the reference config, PACES at 0.8 m/s and
+BOUNDS at 0.6 m/s — the reference never demonstrates a non-trot gait in
+any physics simulator and ships bounding commented out entirely (ref
+gait.py:20); A1 trots under :func:`a1_env_config`, which adapts three
+reference quirks tuned for the reference's own simulators rather than
+physical A1 (see the function docstring).  Bounding's two-leg landings are
+what set the contact default kn = 1e4 (see ContactParams).  jumping16
+(0.6 s of flight per cycle) falls everywhere, MuJoCo included — beyond the
+linear SRB MPC, not an env gap.  Standstill->speed command STEPS are the
+fragile phase at every speed; ``cmd_ramp_ticks`` (a 0.5 s ramp) restores
+robust margins (r3 study).
 """
 from __future__ import annotations
 
@@ -157,7 +157,13 @@ class ContactParams(struct.PyTreeNode):
     saturation studies.
     """
 
-    kn: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(2.0e4))
+    # kn: r3 closed-loop sweep across gaits settled on 1e4 N/m — the earlier
+    # 2e4 under-damped bounding's two-leg landings (the robot ends on its
+    # belly: h_tail 0.07) and left a narrow trot instability band near
+    # 1.0 m/s; at 1e4 (static penetration ~9 mm under Aliengo's weight)
+    # trot 1.0/1.2, pace 0.8, bound 0.6 and A1's trot all hold
+    # upright_tail >= 0.98 under a 0.5 s command ramp.
+    kn: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0e4))
     cn: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(150.0))
     kt: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(300.0))
     mu: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.7))

@@ -164,7 +164,8 @@ def test_a1_fullorder_closed_loop_trot():
     gait = tile(Gaits.trotting10())
     cmd = tile(Command.trot_forward(0.6))
     (state, _), metrics = fullorder.rollout(
-        robot, mpc, gait, cmd, num_ticks=3000, cp=cp, spec=mjcf.a1_spec()
+        robot, mpc, gait, cmd, num_ticks=3000, cp=cp, spec=mjcf.a1_spec(),
+        cmd_ramp_ticks=500,
     )
     h = np.asarray(metrics["height"])
     v = np.asarray(metrics["vel_err"])
@@ -291,13 +292,39 @@ def test_fullorder_step_transient_envelope():
     assert ve[-500:].mean() < 0.1, ve[-500:].mean()
 
 
+def test_fullorder_closed_loop_bound():
+    """BOUNDING holds up under full articulated physics — front/rear pair
+    landings with real leg dynamics.  The contact default kn = 1e4 is what
+    makes this work (see ContactParams.kn); the reference ships bounding
+    commented out entirely (ref gait.py:20) and never demonstrates any
+    non-trot gait in a physics simulator."""
+    B = 1
+    mpc = MpcParams(horizon=10)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
+    )
+    robot = tile(aliengo())
+    gait = tile(Gaits.by_name("bounding8"))
+    cmd = tile(Command.trot_forward(0.6))
+    (state, _), metrics = fullorder.rollout(
+        robot, mpc, gait, cmd, num_ticks=3000, cmd_ramp_ticks=500
+    )
+    up = np.asarray(metrics["upright"])
+    ve = np.asarray(metrics["vel_err"])
+    h = np.asarray(metrics["height"])
+    assert not np.asarray(metrics["diverged"]).any()
+    assert up[-500:].min() > 0.9, f"bound lost attitude: {up[-500:].min():.3f}"
+    assert 0.3 < h[-500:].mean() < 0.45, h[-500:].mean()
+    assert ve[-500:].mean() < 0.2, ve[-500:].mean()
+    assert float(state.pos[0, 0]) > 1.0, "bound did not locomote"
+
+
 def test_fullorder_closed_loop_pace():
     """PACING holds up under full articulated physics (lateral leg pairs —
     dynamically unstable in roll between steps).  The reference never
-    demonstrates any non-trot gait in a physics simulator; bounding remains
-    SRB-only here too (its flight-phase pitch cycle defeats the linear SRB
-    MPC under real leg dynamics — and the reference ships bounding
-    commented out entirely, ref gait.py:20)."""
+    demonstrates any non-trot gait in a physics simulator (bounding ships
+    commented out entirely, ref gait.py:20 — it runs here too, see
+    test_fullorder_closed_loop_bound)."""
     B = 1
     mpc = MpcParams(horizon=10)
     tile = lambda t: jax.tree.map(
