@@ -16,22 +16,29 @@ import sys
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    flags = flags + " --xla_force_host_platform_device_count=8"
-# XLA:CPU's LLVM backend applies fast-math at -O2+, which breaks the
-# error-free float-float transformations in ops/ffprec.py (it rewrites
-# (a+b)-a style patterns).  O0 preserves IEEE semantics op-for-op — the
-# same behavior the TPU backend gives — at negligible cost for test-sized
-# kernels.  See tests/test_ffprec.py.
-if "xla_backend_optimization_level" not in flags:
-    flags = flags + " --xla_backend_optimization_level=0"
-os.environ["XLA_FLAGS"] = flags.strip()
+# Escape hatch: PYMPC_TPU_TESTS=1 leaves the real backend in place so the
+# TPU-gated lane (Pallas parity/stress in test_admm_fast.py) runs on the
+# chip:  PYMPC_TPU_TESTS=1 python -m pytest tests/test_admm_fast.py -q
+_TPU_LANE = bool(os.environ.get("PYMPC_TPU_TESTS"))
+
+if not _TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = flags + " --xla_force_host_platform_device_count=8"
+    # XLA:CPU's LLVM backend applies fast-math at -O2+, which breaks the
+    # error-free float-float transformations in ops/ffprec.py (it rewrites
+    # (a+b)-a style patterns).  O0 preserves IEEE semantics op-for-op — the
+    # same behavior the TPU backend gives — at negligible cost for
+    # test-sized kernels.  See tests/test_ffprec.py.
+    if "xla_backend_optimization_level" not in flags:
+        flags = flags + " --xla_backend_optimization_level=0"
+    os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: this box has 2 cores and XLA compiles
 # dominate test wall-clock; cache compiled executables across pytest runs.
 jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))

@@ -82,12 +82,24 @@ def test_batched_consistency():
             AdmmFastConfig(), backend="jnp",
         )
     )
+    # Batched and single programs fuse differently; 80 f32 iterations
+    # amplify the rounding-order difference along the reduced Hessian's
+    # weak (4e-5-eigenvalue) directions — which include TEMPORAL
+    # redistribution of support (docs/performance.md).  On CPU the
+    # elementwise spread stays ~5e-3 N; on the TPU lane (PYMPC_TPU_TESTS=1)
+    # it reaches a few N at equal cost.  The well-posed invariant gated on
+    # every backend is the f64 cost of both solutions.
+    # (bench r2/r3 measured elementwise deltas up to ~10 N between
+    # equal-cost solutions on TPU)
+    atol = 1e-2 if jax.default_backend() == "cpu" else 12.0
     for i in range(3):
         U_i = _solve_fast(Hs[i], gs[i], tabs[i], robot, mpc)
-        # Batched and single programs fuse differently; 80 f32 iterations
-        # amplify the rounding-order difference to ~5e-3 N on O(100 N)
-        # forces (1e-4 relative) — well inside solver accuracy.
-        np.testing.assert_allclose(U_batch[i], U_i, atol=1e-2)
+        np.testing.assert_allclose(U_batch[i], U_i, atol=atol)
+        Hm64 = np.asarray(Hs[i], np.float64)
+        gm64 = np.asarray(gs[i], np.float64)
+        cost = lambda U: 0.5 * U @ Hm64 @ U + gm64 @ U
+        ca, cb = cost(np.asarray(U_batch[i], np.float64)), cost(U_i)
+        assert abs(ca - cb) / (abs(cb) + 1.0) < 2e-5, (ca, cb)
 
 
 def test_spd_inverse_random():
