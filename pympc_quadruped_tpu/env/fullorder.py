@@ -110,8 +110,12 @@ def rbd_model(robot: RobotParams, spec) -> rbd.RbdModel:
 def a1_env_config():
     """A1 configuration for the full-order on-device env: returns
     ``(RobotParams, ContactParams)`` under which A1 trots stably at
-    <= 0.6 m/s (the on-TPU analog of the reference's 4xA1 IsaacGym run,
-    ref ``scripts/isaacgym_a1.py:57-183``).
+    <= 0.8 m/s (the on-TPU analog of the reference's 4xA1 IsaacGym run,
+    ref ``scripts/isaacgym_a1.py:57-183``).  The 33.5 N*m hardware torque
+    limit is what binds above that: unclamped (as the reference runs ALL
+    its robots) A1 also holds 1.0 m/s; the reference's 1.4 m/s command
+    (ref :98) tips over here even unclamped — and the reference records no
+    evidence of its quality in IsaacGym either.
 
     Three reference-config quirks are adapted — each is a tuning for the
     reference's OWN simulators, not physical A1, and each was isolated by a
@@ -129,7 +133,8 @@ def a1_env_config():
       torque limit on touchdown transients).
 
     ``ContactParams.tau_max`` is the A1 hardware limit (33.5 N*m knee
-    rating) — unlike the reference, which applies unclamped torques.
+    rating) — unlike the reference, which applies unclamped torques
+    everywhere.
     """
     from pympc_quadruped_tpu.models.robots import a1
 

@@ -162,10 +162,10 @@ def test_a1_fullorder_closed_loop_trot():
     robot1, cp = fullorder.a1_env_config()
     robot = tile(robot1)
     gait = tile(Gaits.trotting10())
-    cmd = tile(Command.trot_forward(0.6))
+    cmd = tile(Command.trot_forward(0.8))
     (state, _), metrics = fullorder.rollout(
         robot, mpc, gait, cmd, num_ticks=3000, cp=cp, spec=mjcf.a1_spec(),
-        cmd_ramp_ticks=500,
+        cmd_ramp_ticks=800,
     )
     h = np.asarray(metrics["height"])
     v = np.asarray(metrics["vel_err"])
