@@ -498,6 +498,42 @@ def bench_pod_scale(total=65536, chunk=8192, horizon=10, iters=3):
     }
 
 
+def bench_fullorder_tick(batch=1024, horizon=10, iters=5):
+    """Closed-loop ticks/s of the FULL-ORDER articulated env (CRBA/RNEA +
+    penalty contact + torque actuation) — the on-TPU IsaacGym analog.  One
+    solve period (20 ticks) per dispatch, like ``bench_full_tick``."""
+    import jax
+    import jax.numpy as jnp
+    from pympc_quadruped_tpu.models.command import Command
+    from pympc_quadruped_tpu.models.gaits import Gaits
+    from pympc_quadruped_tpu.models.mpc import MpcParams
+    from pympc_quadruped_tpu.models.robots import aliengo
+    from pympc_quadruped_tpu.env import fullorder
+
+    mpc = MpcParams(horizon=horizon)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + jnp.shape(x)), t
+    )
+    robot, gait = tile(aliengo()), tile(Gaits.trotting10())
+    cmd = tile(Command.trot_forward(1.2))
+    period = int(mpc.iterations_between_mpc)
+
+    @jax.jit
+    def run_period(tick0):
+        (state, carry), metrics = fullorder.rollout(
+            robot, mpc, gait, cmd, num_ticks=period
+        )
+        return state.pos
+
+    r = _time(run_period, (jnp.int32(0),), iters)
+    return {
+        "batch": batch,
+        "period_ticks": period,
+        "ticks_per_s": round(batch * period / r["p50_s"], 1),
+        "period_p50_ms": round(r["p50_s"] * 1e3, 3),
+    }
+
+
 def bench_gait_sweep(batch=256, ticks=2000):
     """BASELINE config 3: a 256-scenario closed-loop sweep mixing
     trotting10 / pacing10 / bounding8 in one vmapped SRB rollout, with
@@ -645,6 +681,10 @@ def main():
             record["gait_sweep"] = _retry(lambda: bench_gait_sweep())
         except Exception as e:
             record["gait_sweep"] = {"error": str(e)[:200]}
+        try:
+            record["fullorder_tick"] = _retry(lambda: bench_fullorder_tick())
+        except Exception as e:
+            record["fullorder_tick"] = {"error": str(e)[:200]}
 
     print(json.dumps(record))
 
