@@ -366,3 +366,28 @@ def test_fullorder_closed_loop_trot():
     assert up[-500:].min() > 0.9, f"not upright: {up[-500:].min():.3f}"
     # Actually moved forward.
     assert float(state.pos[0, 0]) > 1.0
+
+
+def test_fullorder_turning_trot():
+    """Yaw-rate command end-to-end in the articulated env: the robot walks
+    a curved path (the reference only ever commands straight lines in its
+    sims; yaw-rate handling exists in its MPC, ref mpc.py:83-92)."""
+    B = 1
+    mpc = MpcParams(horizon=10)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
+    )
+    robot = tile(aliengo())
+    gait = tile(Gaits.trotting10())
+    cmd = tile(Command.trot_forward(0.8).replace(yaw_turn_rate=jnp.float32(0.5)))
+    (state, _), metrics = fullorder.rollout(
+        robot, mpc, gait, cmd, num_ticks=4000, cmd_ramp_ticks=500
+    )
+    up = np.asarray(metrics["upright"])
+    assert not np.asarray(metrics["diverged"]).any()
+    assert up[-500:].min() > 0.95
+    rpy = np.asarray(jax.vmap(lie.quat_to_zyx)(state.quat))
+    # Turned substantially (tracking is sluggish through the +-0.1 m position
+    # clamp, but the path must genuinely curve) and translated in BOTH axes.
+    assert rpy[0, 2] > 0.5, f"yaw only {rpy[0, 2]:.2f} rad"
+    assert float(state.pos[0, 0]) > 1.5 and float(state.pos[0, 1]) > 0.5
