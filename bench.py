@@ -518,14 +518,23 @@ def bench_fullorder_tick(batch=1024, horizon=10, iters=5):
     cmd = tile(Command.trot_forward(1.2))
     period = int(mpc.iterations_between_mpc)
 
+    # Warm the state OUTSIDE the timed region (like bench_full_tick): the
+    # timed dispatch then continues a walking batch instead of re-paying
+    # the reset transient every call.  (Gait phase restarts at tick 0 per
+    # dispatch — per-tick compute cost is phase-independent.)
+    (state0, carry0), _ = jax.jit(
+        lambda: fullorder.rollout(robot, mpc, gait, cmd, num_ticks=5 * period)
+    )()
+    jax.block_until_ready((state0, carry0))
+
     @jax.jit
-    def run_period(tick0):
-        (state, carry), metrics = fullorder.rollout(
-            robot, mpc, gait, cmd, num_ticks=period
+    def run_period(state, carry):
+        (state, carry), _ = fullorder.rollout(
+            robot, mpc, gait, cmd, num_ticks=period, state0=state, carry0=carry
         )
         return state.pos
 
-    r = _time(run_period, (jnp.int32(0),), iters)
+    r = _time(run_period, (state0, carry0), iters)
     return {
         "batch": batch,
         "period_ticks": period,

@@ -64,6 +64,10 @@ def solve_scenarios(
     """
     if (warm is not None or return_duals) and solver not in ("admm", "admm_fast"):
         raise ValueError("warm/return_duals require the fast ADMM path")
+    if return_duals and not return_full_horizon:
+        # The warm start consumes the FULL-horizon primal; returning only
+        # u_0 alongside the duals would hand the caller an unusable pair.
+        raise ValueError("return_duals requires return_full_horizon=True")
     B = x_t.shape[0]
     if jnp.ndim(robot.mass) == 0:
         robot = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + jnp.shape(a)), robot)

@@ -155,10 +155,8 @@ def main(pid: int, nprocs: int, port: int, outdir: str) -> None:
     from pympc_quadruped_tpu.env import srb_env
     from pympc_quadruped_tpu.models.command import Command
 
-    gait_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), gait)
-    cmd_b = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), Command.trot_forward(0.8)
-    )
+    gait_b = tile(gait)
+    cmd_b = tile(Command.trot_forward(0.8))
     robot_s2, gait_s, cmd_s = mesh_lib.shard_global_batch(
         (robot, gait_b, cmd_b), mesh
     )
@@ -170,14 +168,18 @@ def main(pid: int, nprocs: int, port: int, outdir: str) -> None:
         (env_state, carry), metrics = srb_env.rollout(
             robot_s2, mpc, gait_s, cmd_s, num_ticks=40,
             init_state=env_state, carry_in=carry, tick0=tick0,
-            return_full_carry=True,
+            return_full_carry=True, auto_reset=False,
         )
         tick0 += 40
         vel_err_means.append(
             float(jax.jit(lambda m: jnp.mean(m))(metrics["vel_err"]))  # all-reduce
         )
+        any_diverged = bool(
+            jax.jit(lambda m: jnp.any(m))(metrics["diverged"])
+        )
     rollout_ok = bool(
         np.isfinite(vel_err_means).all()
+        and not any_diverged
         and float(jax.jit(lambda s: jnp.mean(s.pos[:, 2]))(env_state)) > 0.2
     )
 

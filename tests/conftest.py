@@ -19,7 +19,7 @@ sys.path.insert(0, _REPO)
 # Escape hatch: PYMPC_TPU_TESTS=1 leaves the real backend in place so the
 # TPU-gated lane (Pallas parity/stress in test_admm_fast.py) runs on the
 # chip:  PYMPC_TPU_TESTS=1 python -m pytest tests/test_admm_fast.py -q
-_TPU_LANE = bool(os.environ.get("PYMPC_TPU_TESTS"))
+_TPU_LANE = os.environ.get("PYMPC_TPU_TESTS", "").lower() not in ("", "0", "false", "no")
 
 if not _TPU_LANE:
     os.environ["JAX_PLATFORMS"] = "cpu"

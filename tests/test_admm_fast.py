@@ -194,9 +194,7 @@ def test_fused_kernel_randomization_stress():
     (mass/inertia x e^{+-0.8} ~ 0.45-2.2x): no NaN, plausible support
     forces.  The recursion's conditioning safety margins (Ruiz scaling +
     symmetrization + Newton-Schulz) are exactly what this exercises."""
-    import sys, os
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from bench import build_inputs
+    from bench import build_inputs  # repo root is on sys.path via conftest
     from pympc_quadruped_tpu import engine
     from pympc_quadruped_tpu.parallel import sweep as psweep
 
