@@ -493,9 +493,13 @@ def rollout(
 
         bad = _diverged(env_state, ground_b)
         if use_kf:
-            R_new = jax.vmap(lie.quat_to_rotmat)(env_state.quat)
-            vworld_new = jnp.einsum("bij,bj->bi", R_new, env_state.u[:, 3:6])
-            new_inner = (c_carry, kf_state, vworld_new, f_feet)
+            # Carry the PRE-step world velocity (computed above from the
+            # state this tick entered with): next tick's finite difference
+            # is then the velocity change across THIS tick's physics step —
+            # the true trunk acceleration.  (Carrying the post-step value
+            # made the difference identically zero: the accelerometer read
+            # pure gravity forever — r3 review finding.)
+            new_inner = (c_carry, kf_state, vworld, f_feet)
         else:
             new_inner = c_carry
         if auto_reset:

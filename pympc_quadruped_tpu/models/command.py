@@ -35,8 +35,12 @@ class Command:
         1.0 m/s tips over), while ramped — or stepped from a walking state
         — the same speeds hold upright_min > 0.99.
         """
-        s = jnp.clip(
-            jnp.asarray(tick, jnp.float32) / jnp.float32(ramp_ticks), 0.0, 1.0
+        ramp = jnp.float32(ramp_ticks)
+        # ramp_ticks <= 0 means "no ramp" (scale 1), not a 0/0 NaN at tick 0.
+        s = jnp.where(
+            ramp > 0.0,
+            jnp.clip(jnp.asarray(tick, jnp.float32) / jnp.maximum(ramp, 1.0), 0.0, 1.0),
+            1.0,
         )
         return Command(
             vel_base_des=self.vel_base_des * s,

@@ -256,11 +256,22 @@ def _pick_tile(B: int, want: int) -> int:
     """A Mosaic-legal tile for batch B near ``want``: a divisor of B that
     is a multiple of 8 (sublane requirement for 2-D blocks) or B itself.
     Prefers the largest such divisor <= want; if none exists (e.g. want=4,
-    or an odd B), falls back to the SMALLEST legal divisor — never silently
-    the whole batch, whose single-tile VMEM footprint can be ~50 MB."""
+    or an odd B), falls back to the smallest legal divisor.  For a large B
+    with NO small legal divisor (e.g. 4098 = 2*3*683) even that is the
+    whole batch — callers must then batch-pad first (see ``_pad_batch``),
+    or the single tile's VMEM footprint explodes."""
     legal = [t for t in range(1, B + 1) if B % t == 0 and (t % 8 == 0 or t == B)]
     below = [t for t in legal if t <= want]
     return max(below) if below else min(legal)
+
+
+def _pad_batch_to(B: int, want: int) -> int:
+    """Smallest padded batch >= B whose `_pick_tile` stays <= max(want, B):
+    the next multiple of 8 when B is large but has no mult-of-8 divisor.
+    Returns B unchanged when no padding is needed."""
+    if B <= max(want, 8) or _pick_tile(B, want) <= max(want, 8):
+        return B
+    return ((B + 7) // 8) * 8
 
 
 def _pow2_pad(n: int, leaf: int = 16) -> int:
@@ -280,7 +291,23 @@ def _iterate_fused(K, q, d, es, rho, l, u, P0, x0, z0, y0,
                    iterations, sigma, alpha, tile, ns_iters):
     B, n = q.shape
     m = es.shape[-1]
-    tile = _pick_tile(B, tile)
+    # Batch padding for Mosaic-illegal batch sizes (large B with no
+    # multiple-of-8 divisor, e.g. 4098): append identity-K scenarios whose
+    # gated rows (es = 0) and zeroed vectors make them inert, then slice
+    # the outputs back.
+    Bp = _pad_batch_to(B, tile)
+    bpad = Bp - B
+    if bpad:
+        eyeK = jnp.broadcast_to(
+            jnp.eye(K.shape[-1], dtype=K.dtype), (bpad,) + K.shape[1:]
+        )
+        K = jnp.concatenate([K, eyeK], axis=0)
+        zb = lambda a: jnp.pad(a, ((0, bpad),) + ((0, 0),) * (a.ndim - 1))
+        q, d, es, l, u, x0, z0, y0 = map(zb, (q, d, es, l, u, x0, z0, y0))
+        rho = jnp.concatenate(
+            [rho, jnp.ones((bpad, rho.shape[-1]), rho.dtype)], axis=0
+        )
+    tile = _pick_tile(Bp, tile)
 
     # Pad the primal dimension to a recursion-friendly power-of-two size.
     # K gains an identity block (its inverse is exact and decoupled:
@@ -309,7 +336,7 @@ def _iterate_fused(K, q, d, es, rho, l, u, P0, x0, z0, y0,
     )
     x, y = pl.pallas_call(
         kern,
-        grid=(B // tile,),
+        grid=(Bp // tile,),
         in_specs=[
             pl.BlockSpec(
                 (tile, np_, np_), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -320,11 +347,11 @@ def _iterate_fused(K, q, d, es, rho, l, u, P0, x0, z0, y0,
         ],
         out_specs=(vec(np_), vec(m)),
         out_shape=(
-            jax.ShapeDtypeStruct((B, np_), jnp.float32),
-            jax.ShapeDtypeStruct((B, m), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, np_), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, m), jnp.float32),
         ),
     )(K, q, d, es, rho, l, u, P0.T, P0, x0, z0, y0)
-    return x[:, :n], y
+    return x[:B, :n], y[:B]
 
 
 def iterate_fused(ops, P0: jnp.ndarray, cfg, init=None,

@@ -164,6 +164,7 @@ def main(pid: int, nprocs: int, port: int, outdir: str) -> None:
     carry = srb_env.init_full_carry(robot_s2, mpc, env0)
     env_state, tick0 = env0, 0
     vel_err_means = []
+    any_diverged = False
     for _ in range(2):
         (env_state, carry), metrics = srb_env.rollout(
             robot_s2, mpc, gait_s, cmd_s, num_ticks=40,
@@ -174,7 +175,7 @@ def main(pid: int, nprocs: int, port: int, outdir: str) -> None:
         vel_err_means.append(
             float(jax.jit(lambda m: jnp.mean(m))(metrics["vel_err"]))  # all-reduce
         )
-        any_diverged = bool(
+        any_diverged = any_diverged or bool(
             jax.jit(lambda m: jnp.any(m))(metrics["diverged"])
         )
     rollout_ok = bool(
