@@ -189,7 +189,8 @@ def test_pallas_matches_jnp_quality(backend):
 @pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="Pallas TPU kernel needs a TPU"
 )
-def test_fused_kernel_randomization_stress():
+@pytest.mark.parametrize("B", [512, 258])
+def test_fused_kernel_randomization_stress(B):
     """The in-VMEM Schur inversion holds across heavy domain randomization
     (mass/inertia x e^{+-0.8} ~ 0.45-2.2x): no NaN, plausible support
     forces.  The recursion's conditioning safety margins (Ruiz scaling +
@@ -198,7 +199,9 @@ def test_fused_kernel_randomization_stress():
     from pympc_quadruped_tpu import engine
     from pympc_quadruped_tpu.parallel import sweep as psweep
 
-    B = 512
+    # B=258: no multiple-of-8 divisor <= the tile — exercises the batch
+    # padding path (r3 review fix; an unpadded odd batch would compile a
+    # whole-batch VMEM tile).
     robot, mpc, x_t, yaw, feet, X_ref, tables = build_inputs(B, 10, seed=21)
     rb = psweep.randomized_robots(
         robot, B, jax.random.PRNGKey(3), mass_scale=0.8, inertia_scale=0.8
