@@ -19,8 +19,11 @@ Per grid step (tile of ``T`` scenarios, n = 12h vars, m = 20h rows):
     z/y updates  elementwise VPU
 
 The math mirrors :func:`admm_fast.iterate_jnp` exactly (same splitting, same
-over-relaxation, the per-variable Ruiz scaling d applied elementwise);
-tests assert element-level agreement between the two paths.
+over-relaxation, the per-variable Ruiz scaling d applied elementwise).
+Parity with the jnp path is gated on the WELL-POSED invariants (f64 cost,
+cone feasibility, predicted-trajectory agreement — bench.py pallas_parity
+and the TPU-lane tests): elementwise agreement is ill-posed for this QP's
+weak directions, see docs/performance.md.
 """
 from __future__ import annotations
 
