@@ -201,12 +201,18 @@ def make_jax_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0,
 
 def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
         robot="aliengo", vx=None, xml=None, sensors="truth", yaw_rate=0.0,
-        render=None, render_fps=30, gait="trotting10"):
+        render=None, render_fps=30, gait="trotting10", view=False):
     """``render``: path of an offscreen-rendered GIF of the run (the
     publishable artifact matching the reference's
     ``doc/results/trotting10_mujoco.gif``).  Uses ``mujoco.Renderer`` with a
     trunk-tracking camera; requires a headless GL backend (MUJOCO_GL=egl
-    works in this image)."""
+    works in this image).
+
+    ``view``: open a live interactive window via
+    ``mujoco.viewer.launch_passive`` — the counterpart of the reference's
+    MjViewer loop (ref ``scripts/mujoco_aliengo.py:162,228``).  Needs a
+    display (GLFW); on the headless TPU hosts this image targets, prefer
+    ``--render``."""
     from pympc_quadruped_tpu.env import mjcf
 
     if vx is None:
@@ -240,6 +246,16 @@ def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
         cam.type = mujoco.mjtCamera.mjCAMERA_TRACKING
         cam.trackbodyid = model.body("trunk").id
         cam.distance, cam.elevation, cam.azimuth = 1.6, -18.0, 120.0
+    viewer = None
+    if view:
+        # Not a plain `import mujoco.viewer`: that would bind `mujoco` as a
+        # function-local and shadow the module-level import everywhere above.
+        from mujoco import viewer as mj_viewer
+
+        # Passive viewer: the sim loop below stays in charge; we just sync
+        # the window every tick (the reference renders every tick too,
+        # ref mujoco_aliengo.py:228).
+        viewer = mj_viewer.launch_passive(model, data)
     t_start = time.time()
     for tick in range(n_ticks):
         if estimator is not None:
@@ -258,6 +274,12 @@ def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
         if renderer is not None and tick % frame_every == 0:
             renderer.update_scene(data, camera=cam)
             frames.append(renderer.render().copy())
+        if viewer is not None:
+            if not viewer.is_running():
+                if verbose:
+                    print("viewer closed; stopping run")
+                break
+            viewer.sync()
         if tick % 1000 == 0 and verbose:
             print(
                 f"t={tick/1000:.1f}s pos=({data.qpos[0]:+.2f},{data.qpos[1]:+.2f},"
@@ -272,17 +294,22 @@ def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
             break
 
     wall = time.time() - t_start
+    if viewer is not None:
+        viewer.close()
     if renderer is not None:
         from PIL import Image
 
         renderer.close()
         imgs = [Image.fromarray(f) for f in frames]
-        imgs[0].save(
-            render, save_all=True, append_images=imgs[1:],
-            duration=int(1000 / render_fps), loop=0,
-        )
-        if verbose:
-            print(f"rendered {len(imgs)} frames -> {render}")
+        if imgs:
+            imgs[0].save(
+                render, save_all=True, append_images=imgs[1:],
+                duration=int(1000 / render_fps), loop=0,
+            )
+            if verbose:
+                print(f"rendered {len(imgs)} frames -> {render}")
+        elif verbose:
+            print(f"no frames captured; skipping GIF write to {render}")
     pos = np.array(log["pos"])
     vel = np.array(log["vel"])
     n = len(pos)
@@ -331,6 +358,9 @@ if __name__ == "__main__":
     )
     ap.add_argument("--render", default=None,
                     help="write an offscreen-rendered GIF of the run here")
+    ap.add_argument("--view", action="store_true",
+                    help="live interactive window (mujoco.viewer.launch_passive;"
+                         " needs a display — use --render when headless)")
     ap.add_argument("--gait", default="trotting10",
                     help="any library gait (ref mujoco_aliengo.py:176 could "
                          "run any gait too): trotting10/16, pacing10/16, "
@@ -338,4 +368,5 @@ if __name__ == "__main__":
     args = ap.parse_args()
     run(args.controller, args.seconds, args.horizon, args.record,
         robot=args.robot, vx=args.vx, xml=args.xml, sensors=args.sensors,
-        yaw_rate=args.yaw_rate, render=args.render, gait=args.gait)
+        yaw_rate=args.yaw_rate, render=args.render, gait=args.gait,
+        view=args.view)

@@ -36,10 +36,13 @@ class Command:
         — the same speeds hold upright_min > 0.99.
         """
         ramp = jnp.float32(ramp_ticks)
-        # ramp_ticks <= 0 means "no ramp" (scale 1), not a 0/0 NaN at tick 0.
+        # ramp_ticks <= 0 means "no ramp" (scale 1), not a 0/0 NaN at tick 0;
+        # the safe divisor keeps the untaken branch NaN-free, so a fractional
+        # ramp in (0, 1) still scales by tick/ramp rather than tick/1.
+        safe_ramp = jnp.where(ramp > 0.0, ramp, 1.0)
         s = jnp.where(
             ramp > 0.0,
-            jnp.clip(jnp.asarray(tick, jnp.float32) / jnp.maximum(ramp, 1.0), 0.0, 1.0),
+            jnp.clip(jnp.asarray(tick, jnp.float32) / safe_ramp, 0.0, 1.0),
             1.0,
         )
         return Command(

@@ -280,12 +280,14 @@ def spd_inverse(K: jnp.ndarray, newton_schulz_iters: int = 1) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 class AdmmOperands(NamedTuple):
-    # CONTRACT: with setup(invert=True) this holds K^-1 and must go to
-    # iterate()/iterate_jnp(); with invert=False it holds K ITSELF and must
-    # go to admm_pallas.iterate_fused (which inverts in VMEM).  solve_batch
-    # is the only dispatcher and keeps the pairing; external callers of
-    # setup() must do the same.
-    Kinv: jnp.ndarray   # (B,n,n): inverse of (scaled H + sigma I + A^T rho A), or K itself (see above)
+    """Operands with the KKT matrix ALREADY INVERTED (``setup(invert=True)``).
+
+    Consumed by :func:`iterate_jnp` / :func:`admm_pallas.iterate`.  The
+    un-inverted variant is the distinct type :class:`AdmmKktOperands`, so
+    pairing a matrix with the wrong iteration path fails loudly on the
+    field name instead of silently solving with K in place of K^-1.
+    """
+    Kinv: jnp.ndarray   # (B,n,n): inverse of (scaled H + sigma I + A^T rho A)
     q: jnp.ndarray      # (B,n) scaled gradient
     d: jnp.ndarray      # (B,n) variable scaling (x = d * x_scaled)
     es: jnp.ndarray     # (B,m) row scaling * stance gate
@@ -294,16 +296,32 @@ class AdmmOperands(NamedTuple):
     u: jnp.ndarray      # (B,m) scaled upper bounds
 
 
+class AdmmKktOperands(NamedTuple):
+    """Operands with the UN-inverted scaled KKT matrix (``setup(invert=False)``).
+
+    Consumed only by :func:`admm_pallas.iterate_fused`, which performs the
+    Schur inversion in VMEM.
+    """
+    K: jnp.ndarray      # (B,n,n): scaled H + sigma I + A^T rho A (NOT inverted)
+    q: jnp.ndarray
+    d: jnp.ndarray
+    es: jnp.ndarray
+    rho: jnp.ndarray
+    l: jnp.ndarray
+    u: jnp.ndarray
+
+
 def setup(H, g, gait_table, fz_max, mpc: MpcParams, cfg: AdmmFastConfig,
           invert: bool = True):
     """Scale, assemble and invert — batched, scatter-free, matmul-dominated.
 
-    With ``invert=False`` the returned ``Kinv`` field holds the UN-inverted
-    scaled KKT matrix K — the input of the fused Pallas kernel
-    (:func:`admm_pallas.iterate_fused`), which performs the Schur inversion
-    in VMEM.  Measured (r3): composing the XLA ``spd_inverse`` with the
-    Pallas iterate in one program costs ~90 ms of layout-relayout copies at
-    batch 4096; in-kernel inversion removes that interface.
+    With ``invert=False`` the return type is :class:`AdmmKktOperands` whose
+    ``K`` field holds the UN-inverted scaled KKT matrix — the input of the
+    fused Pallas kernel (:func:`admm_pallas.iterate_fused`), which performs
+    the Schur inversion in VMEM.  Measured (r3): composing the XLA
+    ``spd_inverse`` with the Pallas iterate in one program costs ~90 ms of
+    layout-relayout copies at batch 4096; in-kernel inversion removes that
+    interface.
     """
     B, n = g.shape
     h = mpc.horizon
@@ -336,8 +354,10 @@ def setup(H, g, gait_table, fz_max, mpc: MpcParams, cfg: AdmmFastConfig,
     ata = jnp.einsum("bkcd,kj->bkcjd", core, eye_blk, precision=_PREC).reshape(B, n, n)
 
     K = Hs + ata + cfg.sigma * jnp.eye(n, dtype=H.dtype)
-    Kmat = spd_inverse(K, cfg.newton_schulz_iters) if invert else K
-    return AdmmOperands(Kinv=Kmat, q=g_s, d=d, es=es, rho=rho, l=l_s, u=u_s)
+    if invert:
+        Kinv = spd_inverse(K, cfg.newton_schulz_iters)
+        return AdmmOperands(Kinv=Kinv, q=g_s, d=d, es=es, rho=rho, l=l_s, u=u_s)
+    return AdmmKktOperands(K=K, q=g_s, d=d, es=es, rho=rho, l=l_s, u=u_s)
 
 
 # ---------------------------------------------------------------------------
@@ -351,6 +371,11 @@ def iterate_jnp(ops: AdmmOperands, P0: jnp.ndarray, cfg: AdmmFastConfig,
     ``init`` is an optional scaled warm start (x0, z0, y0); zeros (the cold
     start) otherwise.
     """
+    if not isinstance(ops, AdmmOperands):
+        raise TypeError(
+            "iterate_jnp needs AdmmOperands (setup(invert=True)); got "
+            f"{type(ops).__name__} — route it to admm_pallas.iterate_fused"
+        )
     B, n = ops.q.shape
     m = ops.l.shape[-1]
     sigma, alpha = cfg.sigma, cfg.alpha
@@ -406,8 +431,23 @@ def solve_batch(H, g, gait_table, fz_max, mpc: MpcParams,
     for the caller to carry into the next solve.
     """
     if backend == "auto":
+        # pallas_fused (K assembled in XLA, inverted+iterated in kernel)
+        # remains the shipping default: the r4 pallas_full variant moves the
+        # whole setup in-kernel but currently pays XLA->custom-call relayout
+        # on the H producer (under investigation, see docs/performance.md).
         backend = "pallas_fused" if jax.default_backend() == "tpu" else "jnp"
     P0 = cone_pattern(mpc.friction_coef, mpc.horizon)
+    if backend == "pallas_full":
+        # Everything after build_qp happens inside one kernel (r4): Ruiz,
+        # K assembly, inversion, iterations, unscaling.  Only the tiny
+        # per-row bound vectors are computed here.
+        from pympc_quadruped_tpu.ops.qp import admm_pallas
+
+        srow, l, u = row_bounds(gait_table, fz_max, mpc.horizon)
+        U, lam = admm_pallas.solve_full(H, g, srow, l, u, P0, cfg, warm=warm)
+        if return_duals:
+            return U, lam
+        return U
     ops = setup(H, g, gait_table, fz_max, mpc, cfg,
                 invert=(backend != "pallas_fused"))
     init = None

@@ -140,12 +140,18 @@ def _iterate(Kinv, q, d, es, rho, l, u, P0, x0, z0, y0,
 _PREC_HI = jax.lax.Precision.HIGHEST
 
 
-def _bmm(a, b):
+def _bmm(a, b, prec=_PREC_HI):
     """Batched (T,i,j)@(T,j,k) inside the kernel, f32 accumulate."""
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=_PREC_HI,
+        preferred_element_type=jnp.float32, precision=prec,
     )
+
+
+# Precision of the in-kernel Schur-recursion dots (NOT the ADMM iteration
+# dots, which stay HIGHEST — r3 measured their quality cliff).  Module-level
+# so perf probes can A/B it; the shipping default is HIGHEST.
+_PREC_REC = _PREC_HI
 
 
 def _gj_inv_t(M):
@@ -193,11 +199,11 @@ def _schur_inv_t(M):
         Bm = X[:, :m, m:]
         C = X[:, m:, m:]
         Ai = rec(A)
-        W = _bmm(Ai, Bm)
-        S = sym(C - _bmm(jnp.swapaxes(Bm, -1, -2), W))
+        W = _bmm(Ai, Bm, _PREC_REC)
+        S = sym(C - _bmm(jnp.swapaxes(Bm, -1, -2), W, _PREC_REC))
         Si = rec(S)
-        WSi = _bmm(W, Si)
-        TL = sym(Ai + _bmm(WSi, jnp.swapaxes(W, -1, -2)))
+        WSi = _bmm(W, Si, _PREC_REC)
+        TL = sym(Ai + _bmm(WSi, jnp.swapaxes(W, -1, -2), _PREC_REC))
         top = jnp.concatenate([TL, -WSi], axis=-1)
         bot = jnp.concatenate([-jnp.swapaxes(WSi, -1, -2), Si], axis=-1)
         return jnp.concatenate([top, bot], axis=-2)
@@ -255,6 +261,226 @@ def _fused_kernel(K_ref, q_ref, d_ref, es_ref, rho_ref, l_ref, u_ref,
     y_ref[:] = y
 
 
+# ---------------------------------------------------------------------------
+# Fully-fused kernel: Ruiz + K assembly + inversion + iterations (r4)
+# ---------------------------------------------------------------------------
+#
+# r3 moved the Schur inversion into the kernel (the layout war, above).  r4
+# moves the REST of the setup in too: the kernel takes the masked condensed
+# cost (H, g) straight from build_qp plus the tiny per-row bound vectors, and
+# performs Ruiz equilibration, cone-row scaling, K = Hs + A^T rho A + sigma I
+# assembly, the in-VMEM inversion, all ADMM iterations, and the final
+# unscaling.  Motivation (r3 stage decomposition, docs/performance.md): the
+# XLA setup stage (Ruiz fori_loop + block-diag ata einsum + K add) cost ~9 ms
+# of the 52 ms pipeline at batch 4096 and a full extra HBM round-trip of the
+# (B,n,n) operand; here the scaled matrix never exists in HBM at all.
+# The math mirrors admm_fast.setup + iterate_jnp step for step (same
+# clipping, same penalties); rounding differs at the reassociation level, so
+# parity is gated on the same well-posed invariants as the r3 kernel.
+
+
+def _full_kernel(H_ref, g_ref, srow_ref, l_ref, u_ref, U0_ref, lam0_ref,
+                 P0T_ref, P0_ref, G1_ref, G2_ref, U_ref, lam_ref, *,
+                 iterations: int, sigma: float, alpha: float,
+                 newton_schulz_iters: int, ruiz_iters: int,
+                 rho_ineq: float, rho_eq: float):
+    H = H_ref[:]                  # (T,n,n) masked cost, identity-padded
+    g = g_ref[:]                  # (T,n)
+    srow = srow_ref[:]            # (T,m) stance gate per cone row
+    lo_raw = l_ref[:]             # (T,m) unscaled bounds
+    hi_raw = u_ref[:]
+    U0 = U0_ref[:]                # (T,n) unscaled warm primal (zeros = cold)
+    lam0 = lam0_ref[:]            # (T,m) unscaled warm duals
+    P0T = P0T_ref[:]              # (n,m)
+    P0 = P0_ref[:]                # (m,n)
+    G1 = G1_ref[:]                # (n,m) |P0|^T with z-columns zeroed
+    G2 = G2_ref[:]                # (n,m) |P0|^T with only z-columns
+
+    T, n = g.shape
+
+    # ---- Ruiz equilibration (mirrors admm_fast.ruiz_scaling) ----
+    d = jnp.ones((T, n), jnp.float32)
+    Hs = H
+    for _ in range(ruiz_iters):
+        col = jnp.max(jnp.abs(Hs), axis=-1)
+        delta = jnp.clip(jax.lax.rsqrt(jnp.maximum(col, 1e-8)), 1e-4, 1e4)
+        Hs = Hs * delta[:, :, None] * delta[:, None, :]
+        d = d * delta
+    q = g * d
+
+    # ---- cone-row scaling (mirrors admm_fast.pattern_row_norms: each G
+    # row has a single nonzero per cone row, so the matmul IS the max's
+    # operand — max(dx|dy, mu*dz) elementwise over two exact products) ----
+    norms = jnp.maximum(
+        jnp.dot(d, G1, preferred_element_type=jnp.float32, precision=_PREC_HI),
+        jnp.dot(d, G2, preferred_element_type=jnp.float32, precision=_PREC_HI),
+    )
+    e = 1.0 / jnp.clip(norms, 1e-8, None)
+    es = e * srow
+    lo = lo_raw * e
+    hi = hi_raw * e
+    rho = jnp.where((hi - lo) < 1e-6, rho_eq, rho_ineq)
+    inv_rho = 1.0 / rho
+
+    # ---- K = Hs + A^T rho A + sigma I with A = diag(es) P0 diag(d):
+    # ata = S^T S with S = (sqrt(rho)*es) ⊙ P0 ⊙ d — symmetric by
+    # construction, one batched MXU matmul over the m rows ----
+    S = (jnp.sqrt(rho) * es)[:, :, None] * P0[None] * d[:, None, :]
+    ata = jax.lax.dot_general(
+        S, S, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=_PREC_HI,
+    )
+    K = Hs + ata + sigma * jnp.eye(n, dtype=jnp.float32)[None]
+
+    # ---- invert in VMEM (same recursion as iterate_fused) ----
+    Kinv = _schur_inv_t(K)
+    eye2 = 2.0 * jnp.eye(n, dtype=jnp.float32)
+    for _ in range(newton_schulz_iters):
+        Kinv = _bmm(Kinv, eye2[None] - _bmm(K, Kinv))
+        Kinv = 0.5 * (Kinv + jnp.swapaxes(Kinv, -1, -2))
+
+    # ---- warm-start mapping into scaled coordinates (mirrors
+    # admm_fast.solve_batch: x0 = U0/d, z0 = clip(es P0 U0, l, u),
+    # y0 = lam0/es on gated rows = srow * lam0 * norms) ----
+    x = U0 / d
+    z = jnp.clip(
+        es * jnp.dot(U0, P0T, preferred_element_type=jnp.float32,
+                     precision=_PREC_HI),
+        lo, hi,
+    )
+    y = srow * lam0 * norms
+
+    # ---- ADMM iterations (identical math to _fused_kernel) ----
+    def body(_, carry):
+        x, z, y = carry
+        v = es * (rho * z - y)
+        rhs = sigma * x - q + d * jnp.dot(
+            v, P0, preferred_element_type=jnp.float32, precision=_PREC_HI
+        )
+        xt = jax.lax.dot_general(
+            Kinv, rhs, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=_PREC_HI,
+        )
+        zt = es * jnp.dot(d * xt, P0T, preferred_element_type=jnp.float32,
+                          precision=_PREC_HI)
+        x_new = alpha * xt + (1.0 - alpha) * x
+        zbar = alpha * zt + (1.0 - alpha) * z
+        z_new = jnp.clip(zbar + y * inv_rho, lo, hi)
+        y_new = y + rho * (zbar - z_new)
+        return x_new, z_new, y_new
+
+    x, _, y = jax.lax.fori_loop(0, iterations, body, (x, z, y))
+
+    # ---- unscale in-kernel: problem units out ----
+    U_ref[:] = x * d
+    lam_ref[:] = es * y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "sigma", "alpha", "tile", "ns_iters",
+                     "ruiz_iters", "rho_ineq", "rho_eq"),
+)
+def _solve_full(H, g, srow, l, u, U0, lam0, P0,
+                iterations, sigma, alpha, tile, ns_iters, ruiz_iters,
+                rho_ineq, rho_eq):
+    B, n = g.shape
+    m = srow.shape[-1]
+    # Inert-scenario batch padding (same scheme as _iterate_fused): identity
+    # H, zero gates and vectors, unit upper bounds.
+    Bp = _pad_batch_to(B, tile)
+    bpad = Bp - B
+    if bpad:
+        eyeH = jnp.broadcast_to(
+            jnp.eye(n, dtype=H.dtype), (bpad,) + H.shape[1:]
+        )
+        H = jnp.concatenate([H, eyeH], axis=0)
+        zb = lambda a: jnp.pad(a, ((0, bpad),) + ((0, 0),) * (a.ndim - 1))
+        g, srow, l, U0, lam0 = map(zb, (g, srow, l, U0, lam0))
+        u = jnp.concatenate([u, jnp.ones((bpad, m), u.dtype)], axis=0)
+    tile = _pick_tile(Bp, tile)
+
+    # Pad the primal dimension 12h -> recursion-friendly power of two.
+    # H gains an identity block (decoupled through the recursion; its Ruiz
+    # delta is exactly 1), vectors and P0 columns gain zeros.
+    np_ = _pow2_pad(n)
+    pad = np_ - n
+    if pad:
+        ii = jnp.arange(np_)
+        diag_ext = jnp.where(ii >= n, 1.0, 0.0).astype(H.dtype)
+        H = jnp.pad(H, ((0, 0), (0, pad), (0, pad))) + jnp.diag(diag_ext)[None]
+        zpad = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
+        g, U0 = zpad(g), zpad(U0)
+        P0 = jnp.pad(P0, ((0, 0), (0, pad)))
+
+    # Row-norm selector matrices: |P0|^T split into the x/y-coefficient part
+    # and the mu*z part; each cone row has at most one nonzero in each, so
+    # d @ G1 / d @ G2 reproduce pattern_row_norms exactly.
+    zcol = (jnp.arange(np_) % 3 == 2) & (jnp.arange(np_) < n)
+    A = jnp.abs(P0)                                           # (m,np_)
+    G1 = (A * (~zcol)[None, :]).T                             # (np_,m)
+    G2 = (A * zcol[None, :]).T
+
+    kern = functools.partial(
+        _full_kernel, iterations=iterations, sigma=float(sigma),
+        alpha=float(alpha), newton_schulz_iters=ns_iters,
+        ruiz_iters=ruiz_iters, rho_ineq=float(rho_ineq),
+        rho_eq=float(rho_eq),
+    )
+    vec = lambda width: pl.BlockSpec(
+        (tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    shared = lambda r, c: pl.BlockSpec(
+        (r, c), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    U, lam = pl.pallas_call(
+        kern,
+        grid=(Bp // tile,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile, np_, np_), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            vec(np_), vec(m), vec(m), vec(m), vec(np_), vec(m),
+            shared(np_, m), shared(m, np_), shared(np_, m), shared(np_, m),
+        ],
+        out_specs=(vec(np_), vec(m)),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, np_), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, m), jnp.float32),
+        ),
+    )(H, g, srow, l, u, U0, lam0, P0.T, P0, G1, G2)
+    return U[:B, :n], lam[:B]
+
+
+def solve_full(H, g, srow, l, u, P0: jnp.ndarray, cfg, warm=None,
+               fused_tile: int | None = None):
+    """One-kernel solve from the raw masked cost: Ruiz + K assembly +
+    in-VMEM inversion + iterations + unscaling, HBM traffic = one pass over
+    H.  Returns UNSCALED ``(U, lam)`` — unlike iterate/iterate_fused there
+    is no scaled coordinate system outside the kernel.
+
+    ``warm`` is the unscaled ``(U0, lam0)`` pair (see
+    :func:`admm_fast.solve_batch`); zeros reduce exactly to the cold start.
+    """
+    B, n = g.shape
+    m = srow.shape[-1]
+    if warm is None:
+        U0 = jnp.zeros((B, n), jnp.float32)
+        lam0 = jnp.zeros((B, m), jnp.float32)
+    else:
+        U0, lam0 = warm
+        U0 = jnp.asarray(U0, jnp.float32)
+        lam0 = jnp.asarray(lam0, jnp.float32)
+    if fused_tile is None:
+        np_ = _pow2_pad(n)
+        fused_tile = max(8, (16 * 128 * 128) // (np_ * np_))
+    return _solve_full(
+        H, g, srow, l, u, U0, lam0, P0,
+        cfg.iterations, cfg.sigma, cfg.alpha, fused_tile,
+        cfg.newton_schulz_iters, cfg.ruiz_iters, cfg.rho, cfg.rho_eq,
+    )
+
+
 def _pick_tile(B: int, want: int) -> int:
     """A Mosaic-legal tile for batch B near ``want``: a divisor of B that
     is a multiple of 8 (sublane requirement for 2-D blocks) or B itself.
@@ -269,9 +495,12 @@ def _pick_tile(B: int, want: int) -> int:
 
 
 def _pad_batch_to(B: int, want: int) -> int:
-    """Smallest padded batch >= B whose `_pick_tile` stays <= max(want, B):
+    """Smallest padded batch >= B whose `_pick_tile` stays <= max(want, 8):
     the next multiple of 8 when B is large but has no mult-of-8 divisor.
-    Returns B unchanged when no padding is needed."""
+    Returns B unchanged when B itself is small (<= max(want, 8)) or already
+    has a legal small tile; batches just over the threshold (e.g. B=10,
+    want=8) are padded to the next multiple of 8 — harmless extra work that
+    keeps every tile Mosaic-legal."""
     if B <= max(want, 8) or _pick_tile(B, want) <= max(want, 8):
         return B
     return ((B + 7) // 8) * 8
@@ -359,8 +588,8 @@ def _iterate_fused(K, q, d, es, rho, l, u, P0, x0, z0, y0,
 
 def iterate_fused(ops, P0: jnp.ndarray, cfg, init=None,
                   fused_tile: int | None = None):
-    """Invert-and-iterate in one kernel.  ``ops.Kinv`` must hold the
-    UN-inverted scaled KKT matrix K (``admm_fast.setup(..., invert=False)``).
+    """Invert-and-iterate in one kernel.  ``ops`` must be the un-inverted
+    :class:`admm_fast.AdmmKktOperands` (``admm_fast.setup(invert=False)``).
 
     ``fused_tile`` defaults by problem size: the in-kernel recursion holds
     K, Kinv and the level temporaries at once (~5x the iterate-only working
@@ -372,6 +601,13 @@ def iterate_fused(ops, P0: jnp.ndarray, cfg, init=None,
     n_pad = 256 compiles and passes parity at tile 8 on v5e — the stack
     does not scale purely as tile*n_pad^2).
     """
+    from pympc_quadruped_tpu.ops.qp import admm_fast
+
+    if not isinstance(ops, admm_fast.AdmmKktOperands):
+        raise TypeError(
+            "iterate_fused needs AdmmKktOperands (setup(invert=False)); got "
+            f"{type(ops).__name__} — route it to iterate()/iterate_jnp()"
+        )
     B, n = ops.q.shape
     m = ops.es.shape[-1]
     if init is None:
@@ -385,7 +621,7 @@ def iterate_fused(ops, P0: jnp.ndarray, cfg, init=None,
         np_ = _pow2_pad(n)
         fused_tile = max(8, (16 * 128 * 128) // (np_ * np_))
     return _iterate_fused(
-        ops.Kinv, ops.q, ops.d, ops.es, ops.rho, ops.l, ops.u, P0,
+        ops.K, ops.q, ops.d, ops.es, ops.rho, ops.l, ops.u, P0,
         x0, z0, y0,
         cfg.iterations, cfg.sigma, cfg.alpha, fused_tile,
         cfg.newton_schulz_iters,
@@ -399,6 +635,13 @@ def iterate(ops, P0: jnp.ndarray, cfg, init=None):
     caller applies the Ruiz unscaling ``x * d`` / ``es * y``.  ``init`` is an
     optional scaled warm start (x0, z0, y0); zeros otherwise.
     """
+    from pympc_quadruped_tpu.ops.qp import admm_fast
+
+    if not isinstance(ops, admm_fast.AdmmOperands):
+        raise TypeError(
+            "iterate needs AdmmOperands (setup(invert=True)); got "
+            f"{type(ops).__name__} — route it to iterate_fused()"
+        )
     B, n = ops.q.shape
     m = ops.es.shape[-1]
     if init is None:

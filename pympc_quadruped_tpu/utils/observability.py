@@ -57,6 +57,78 @@ def qp_residuals(
     }
 
 
+def kkt_residuals_f64(
+    H, g, gait_table, fz_max, U, lam, mpc: MpcParams
+) -> Dict[str, np.ndarray]:
+    """Host-side float64 KKT certificate of a batch of solutions WITH duals.
+
+    Unlike the sibling-comparison parity gate (fused kernel vs jnp
+    iteration), this evaluates the returned ``(U, lam)`` pair against the
+    RAW problem data ``(H, g, bounds)`` in f64 on the host — independent of
+    every solver-internal transformation (Ruiz scaling, K assembly,
+    padding), so a common-mode setup bug that fools the sibling comparison
+    still fails here (the solver contract of ref ``linear_mpc/mpc.py:277-290``).
+
+    Conventions (OSQP form, ``l <= P0 U <= u``): stationarity
+    ``H U + g + P0^T lam = 0``; lam < 0 active at the lower bound, lam > 0
+    at the upper.  Returns per-scenario arrays:
+
+    - ``stat_rel``: inf-norm of the stationarity residual over the
+      magnitude of the gradient terms;
+    - ``primal_N``: worst bound violation of the gated rows [N];
+    - ``comp_N``: worst complementarity product, normalized by (1 + fz_max)
+      so it reads in Newtons of mismatched force (positive duals on
+      unbounded rows count with unit lever);
+    - ``finite``: solution and duals all finite.
+
+    ``U`` must be swing-masked (``* mv``) and ``lam`` as returned by
+    ``solve_batch(..., return_duals=True)``.
+    """
+    import jax.numpy as jnp  # local: only for the tiny pattern constants
+
+    h = mpc.horizon
+    H = np.asarray(H, np.float64)
+    g = np.asarray(g, np.float64)
+    U = np.asarray(U, np.float64)
+    lam = np.asarray(lam, np.float64)
+    P0 = np.asarray(admm_fast.cone_pattern(mpc.friction_coef, h), np.float64)
+    srow_j, l_j, u_j = admm_fast.row_bounds(
+        jnp.asarray(gait_table), fz_max, h
+    )
+    srow = np.asarray(srow_j, np.float64)
+    l = np.asarray(l_j, np.float64)
+    u = np.asarray(u_j, np.float64)
+
+    z = U @ P0.T                                             # (B,m)
+    stat = np.einsum("bij,bj->bi", H, U) + g + lam @ P0      # (B,n)
+    gscale = 1.0 + np.maximum(
+        np.max(np.abs(g), axis=-1), np.max(np.abs(np.einsum("bij,bj->bi", H, U)), axis=-1)
+    )
+    stat_rel = np.max(np.abs(stat), axis=-1) / gscale
+
+    gated_lo = np.where(srow > 0, l - z, -np.inf)
+    gated_up = np.where((srow > 0) & np.isfinite(u), z - u, -np.inf)
+    primal = np.maximum(
+        np.max(gated_lo, axis=-1), np.max(gated_up, axis=-1)
+    )
+    primal = np.maximum(primal, 0.0)
+
+    fz = np.asarray(fz_max, np.float64)
+    comp_lo = np.abs(np.minimum(lam, 0.0) * (z - l))
+    comp_up = np.maximum(lam, 0.0) * np.where(np.isfinite(u), u - z, 1.0)
+    comp = np.max(np.maximum(comp_lo, np.abs(comp_up)), axis=-1) / (
+        1.0 + np.max(fz)
+    )
+
+    finite = np.isfinite(U).all(axis=-1) & np.isfinite(lam).all(axis=-1)
+    return {
+        "stat_rel": stat_rel,
+        "primal_N": primal,
+        "comp_N": comp,
+        "finite": finite,
+    }
+
+
 class MetricsLogger:
     """Accumulate device scalar dicts; drain to host in one async transfer.
 

@@ -30,6 +30,48 @@ from pympc_quadruped_tpu.ops import kin, lie, rbd
 LEGS = ("FL", "FR", "RL", "RR")
 
 
+def _jittered_init(robot_b, B, seed, cp=None, terrain=None):
+    """Batch of initial states with small physical jitters (cm-scale pose,
+    cm/s-scale velocity) around the nominal stance.
+
+    The closed-loop gates below run B jittered scenarios and require a
+    PASS BAND (>= B-1 of B) instead of pinning one trajectory: a 1e-7
+    rounding change in any op moves stumble timing on a single knife-edge
+    trajectory (r3 measured, docs/performance.md), but a controller that is
+    actually stable clears a +-1 cm perturbation band — behavior is gated,
+    not the bit pattern."""
+    fr = None if cp is None else cp.foot_radius
+    if terrain is not None:
+        state0 = jax.vmap(
+            lambda r, t: fullorder.init_state_on_terrain(r, t, fr)
+        )(robot_b, terrain)
+    else:
+        state0 = jax.vmap(lambda r: fullorder.default_init_state(r, fr))(robot_b)
+    rng = np.random.default_rng(seed)
+    dpos = np.zeros((B, 3), np.float32)
+    dpos[1:, :2] = rng.uniform(-0.01, 0.01, (B - 1, 2))   # scenario 0 = nominal
+    dpos[1:, 2] = rng.uniform(-0.003, 0.003, B - 1)
+    dq = np.zeros((B, 12), np.float32)
+    dq[1:] = rng.uniform(-0.01, 0.01, (B - 1, 12))
+    du = np.zeros((B, 18), np.float32)
+    du[1:] = rng.uniform(-0.02, 0.02, (B - 1, 18))
+    return state0.replace(
+        pos=state0.pos + jnp.asarray(dpos),
+        q=state0.q + jnp.asarray(dq),
+        u=state0.u + jnp.asarray(du),
+    )
+
+
+def _per_scenario(metrics, key, tail=None):
+    """(B,) per-scenario reduction of a stacked (T,B) metric window."""
+    a = np.asarray(metrics[key])
+    return a if tail is None else a[-tail:]
+
+
+def _pass_band(ok, need):
+    assert int(np.sum(ok)) >= need, f"only {int(np.sum(ok))} of {ok.size} scenarios pass: {ok}"
+
+
 def _setup(name):
     robot = aliengo() if name == "aliengo" else a1()
     spec = mjcf.aliengo_spec() if name == "aliengo" else mjcf.a1_spec()
@@ -154,7 +196,7 @@ def test_a1_fullorder_closed_loop_trot():
     — the on-TPU analog of the reference's 4xA1 IsaacGym entry point
     (ref ``scripts/isaacgym_a1.py:57-183``), with the real 33.5 N*m
     hardware torque clamp the reference never applies."""
-    B = 2
+    B = 4
     mpc = MpcParams(horizon=10)
     tile = lambda t: jax.tree.map(
         lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
@@ -165,16 +207,17 @@ def test_a1_fullorder_closed_loop_trot():
     cmd = tile(Command.trot_forward(0.8))
     (state, _), metrics = fullorder.rollout(
         robot, mpc, gait, cmd, num_ticks=3000, cp=cp, spec=mjcf.a1_spec(),
-        cmd_ramp_ticks=800,
+        cmd_ramp_ticks=800, state0=_jittered_init(robot, B, seed=21, cp=cp),
     )
-    h = np.asarray(metrics["height"])
-    v = np.asarray(metrics["vel_err"])
-    up = np.asarray(metrics["upright"])
-    assert not np.asarray(metrics["diverged"]).any()
-    assert 0.28 < h[-500:].mean() < 0.40, f"height drifted: {h[-500:].mean():.3f}"
-    assert v[-500:].mean() < 0.15, f"velocity tracking error {v[-500:].mean():.3f}"
-    assert up[-500:].min() > 0.9, f"not upright: {up[-500:].min():.3f}"
-    assert float(state.pos[0, 0]) > 1.0
+    h = _per_scenario(metrics, "height", 500).mean(axis=0)
+    v = _per_scenario(metrics, "vel_err", 500).mean(axis=0)
+    up = _per_scenario(metrics, "upright", 500).min(axis=0)
+    ok = (
+        (h > 0.28) & (h < 0.40) & (v < 0.15) & (up > 0.9)
+        & ~np.asarray(metrics["diverged"]).any(axis=0)
+        & (np.asarray(state.pos[:, 0]) > 1.0)
+    )
+    _pass_band(ok, B - 1)
 
 
 def test_fullorder_rough_terrain_trot():
@@ -183,7 +226,7 @@ def test_fullorder_rough_terrain_trot():
     Aliengo trots across 2 cm random-rough ground in the articulated env."""
     from pympc_quadruped_tpu.env import terrain as terrain_lib
 
-    B = 2
+    B = 4
     mpc = MpcParams(horizon=10)
     tile = lambda t: jax.tree.map(
         lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
@@ -193,12 +236,16 @@ def test_fullorder_rough_terrain_trot():
     cmd = tile(Command.trot_forward(0.8))
     terr = tile(terrain_lib.random_rough(jax.random.PRNGKey(11), amplitude=0.02))
     (state, _), metrics = fullorder.rollout(
-        robot, mpc, gait, cmd, num_ticks=2000, terrain=terr
+        robot, mpc, gait, cmd, num_ticks=2000, terrain=terr,
+        state0=_jittered_init(robot, B, seed=22, terrain=terr),
     )
-    up = np.asarray(metrics["upright"])
-    assert not np.asarray(metrics["diverged"]).any()
-    assert up[-500:].min() > 0.9, f"not upright: {up[-500:].min():.3f}"
-    assert float(state.pos[0, 0]) > 0.8, "did not traverse the rough field"
+    up = _per_scenario(metrics, "upright", 500).min(axis=0)
+    ok = (
+        (up > 0.9)
+        & ~np.asarray(metrics["diverged"]).any(axis=0)
+        & (np.asarray(state.pos[:, 0]) > 0.8)
+    )
+    _pass_band(ok, B - 1)
 
 
 def test_fullorder_kf_measured_contact_drive():
@@ -208,7 +255,7 @@ def test_fullorder_kf_measured_contact_drive():
     with planned-stance gating)."""
     from pympc_quadruped_tpu.estimation import kf
 
-    B = 2
+    B = 4
     mpc = MpcParams(horizon=10)
     tile = lambda t: jax.tree.map(
         lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
@@ -220,24 +267,22 @@ def test_fullorder_kf_measured_contact_drive():
     (state, _), metrics = fullorder.rollout(
         robot, mpc, gait, cmd, num_ticks=2000,
         estimator=est, key=jax.random.PRNGKey(5),
+        state0=_jittered_init(robot, B, seed=23),
     )
-    up = np.asarray(metrics["upright"])
-    ve = np.asarray(metrics["vel_err"])
-    assert not np.asarray(metrics["diverged"]).any()
-    assert up[-500:].min() > 0.9, f"not upright: {up[-500:].min():.3f}"
-    assert ve[-500:].mean() < 0.25, f"velocity tracking {ve[-500:].mean():.3f}"
-    # The estimate the controller consumed was actually good.  The velocity
-    # bar is wider than the SRB env's (test_kf.py): the articulated env's
-    # accelerometer carries real touchdown-impact spikes (hundreds of m/s^2
-    # for ~1 ms) that the SRB env's smooth synthesized accel never shows.
-    assert np.asarray(metrics["est_vel_err"])[-500:].mean() < 0.35
-    # Horizontal position is observable only through foot anchoring, and
-    # penalty-contact feet CREEP under load (viscous tangential model), so
-    # leg odometry accrues bounded drift with distance (~13% here over
-    # 1.6 m) — the bar asserts bounded, not SRB-env-tight (feet pinned
-    # exactly there).  The controller is insensitive: the MPC clamps its
-    # position error to +-0.1 m (ref mpc.py:121-137).
-    assert np.asarray(metrics["est_pos_err"])[-1].max() < 0.35
+    up = _per_scenario(metrics, "upright", 500).min(axis=0)
+    ve = _per_scenario(metrics, "vel_err", 500).mean(axis=0)
+    ok = (
+        (up > 0.9) & (ve < 0.25)
+        & ~np.asarray(metrics["diverged"]).any(axis=0)
+        & (_per_scenario(metrics, "est_vel_err", 500).mean(axis=0) < 0.35)
+        & (np.asarray(metrics["est_pos_err"])[-1] < 0.35)
+    )
+    _pass_band(ok, B - 1)
+    # est_vel_err bar is wider than the SRB env's (test_kf.py): the
+    # articulated accelerometer carries real touchdown-impact spikes.
+    # est_pos_err asserts BOUNDED drift only: penalty-contact feet creep
+    # under load, so leg odometry drifts ~13% of distance; the controller
+    # is insensitive (position error clamped +-0.1 m, ref mpc.py:121-137).
 
 
 def test_fullorder_auto_reset_recovers_poisoned_scenario():
@@ -274,7 +319,7 @@ def test_fullorder_step_transient_envelope():
     speed 0.6-1.4).  A 0.5 s command ramp (``Command.ramped``) restores
     robust margins at the worst-case step speed (1.0 m/s tips over when
     stepped; MuJoCo's implicit solver absorbs the same step)."""
-    B = 1
+    B = 5
     mpc = MpcParams(horizon=10)
     tile = lambda t: jax.tree.map(
         lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
@@ -283,13 +328,16 @@ def test_fullorder_step_transient_envelope():
     gait = tile(Gaits.trotting10())
     cmd = tile(Command.trot_forward(1.0))
     (_, _), metrics = fullorder.rollout(
-        robot, mpc, gait, cmd, num_ticks=2500, cmd_ramp_ticks=500
+        robot, mpc, gait, cmd, num_ticks=2500, cmd_ramp_ticks=500,
+        state0=_jittered_init(robot, B, seed=24),
     )
-    up = np.asarray(metrics["upright"])
-    ve = np.asarray(metrics["vel_err"])
-    assert not np.asarray(metrics["diverged"]).any()
-    assert up.min() > 0.95, f"ramped 1.0 m/s trot lost attitude: {up.min():.3f}"
-    assert ve[-500:].mean() < 0.1, ve[-500:].mean()
+    up = _per_scenario(metrics, "upright").min(axis=0)
+    ve = _per_scenario(metrics, "vel_err", 500).mean(axis=0)
+    ok = (
+        (up > 0.95) & (ve < 0.1)
+        & ~np.asarray(metrics["diverged"]).any(axis=0)
+    )
+    _pass_band(ok, B - 1)
 
 
 def test_fullorder_closed_loop_bound():
@@ -298,7 +346,7 @@ def test_fullorder_closed_loop_bound():
     makes this work (see ContactParams.kn); the reference ships bounding
     commented out entirely (ref gait.py:20) and never demonstrates any
     non-trot gait in a physics simulator."""
-    B = 1
+    B = 4
     mpc = MpcParams(horizon=10)
     tile = lambda t: jax.tree.map(
         lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
@@ -307,16 +355,18 @@ def test_fullorder_closed_loop_bound():
     gait = tile(Gaits.by_name("bounding8"))
     cmd = tile(Command.trot_forward(0.6))
     (state, _), metrics = fullorder.rollout(
-        robot, mpc, gait, cmd, num_ticks=3000, cmd_ramp_ticks=500
+        robot, mpc, gait, cmd, num_ticks=3000, cmd_ramp_ticks=500,
+        state0=_jittered_init(robot, B, seed=25),
     )
-    up = np.asarray(metrics["upright"])
-    ve = np.asarray(metrics["vel_err"])
-    h = np.asarray(metrics["height"])
-    assert not np.asarray(metrics["diverged"]).any()
-    assert up[-500:].min() > 0.9, f"bound lost attitude: {up[-500:].min():.3f}"
-    assert 0.3 < h[-500:].mean() < 0.45, h[-500:].mean()
-    assert ve[-500:].mean() < 0.2, ve[-500:].mean()
-    assert float(state.pos[0, 0]) > 1.0, "bound did not locomote"
+    up = _per_scenario(metrics, "upright", 500).min(axis=0)
+    ve = _per_scenario(metrics, "vel_err", 500).mean(axis=0)
+    h = _per_scenario(metrics, "height", 500).mean(axis=0)
+    ok = (
+        (up > 0.9) & (h > 0.3) & (h < 0.45) & (ve < 0.2)
+        & ~np.asarray(metrics["diverged"]).any(axis=0)
+        & (np.asarray(state.pos[:, 0]) > 1.0)
+    )
+    _pass_band(ok, B - 1)
 
 
 def test_fullorder_closed_loop_pace():
@@ -325,7 +375,7 @@ def test_fullorder_closed_loop_pace():
     demonstrates any non-trot gait in a physics simulator (bounding ships
     commented out entirely, ref gait.py:20 — it runs here too, see
     test_fullorder_closed_loop_bound)."""
-    B = 1
+    B = 4
     mpc = MpcParams(horizon=10)
     tile = lambda t: jax.tree.map(
         lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
@@ -334,20 +384,23 @@ def test_fullorder_closed_loop_pace():
     gait = tile(Gaits.by_name("pacing10"))
     cmd = tile(Command.trot_forward(0.8))
     (state, _), metrics = fullorder.rollout(
-        robot, mpc, gait, cmd, num_ticks=3000, cmd_ramp_ticks=500
+        robot, mpc, gait, cmd, num_ticks=3000, cmd_ramp_ticks=500,
+        state0=_jittered_init(robot, B, seed=26),
     )
-    up = np.asarray(metrics["upright"])
-    ve = np.asarray(metrics["vel_err"])
-    assert not np.asarray(metrics["diverged"]).any()
-    assert up.min() > 0.95, f"pace lost attitude: {up.min():.3f}"
-    assert ve[-500:].mean() < 0.15, ve[-500:].mean()
-    assert float(state.pos[0, 0]) > 1.5, "pace did not locomote"
+    up = _per_scenario(metrics, "upright").min(axis=0)
+    ve = _per_scenario(metrics, "vel_err", 500).mean(axis=0)
+    ok = (
+        (up > 0.95) & (ve < 0.15)
+        & ~np.asarray(metrics["diverged"]).any(axis=0)
+        & (np.asarray(state.pos[:, 0]) > 1.5)
+    )
+    _pass_band(ok, B - 1)
 
 
 def test_fullorder_closed_loop_trot():
     """The torque-driven full-order loop holds a 1.2 m/s trot — the
     capability the reference delegates to IsaacGym, batched on device."""
-    B = 2
+    B = 5
     mpc = MpcParams(horizon=10)
     tile = lambda t: jax.tree.map(
         lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
@@ -355,24 +408,26 @@ def test_fullorder_closed_loop_trot():
     robot = tile(aliengo())
     gait = tile(Gaits.trotting10())
     cmd = tile(Command.trot_forward(1.2))
-    (state, _), metrics = fullorder.rollout(robot, mpc, gait, cmd, num_ticks=1500)
-    h = np.asarray(metrics["height"])
-    v = np.asarray(metrics["vel_err"])
-    up = np.asarray(metrics["upright"])
-    assert np.all(np.isfinite(h))
-    # Steady-state window: final 500 ticks.
-    assert 0.33 < h[-500:].mean() < 0.42, f"height drifted: {h[-500:].mean():.3f}"
-    assert v[-500:].mean() < 0.15, f"velocity tracking error {v[-500:].mean():.3f}"
-    assert up[-500:].min() > 0.9, f"not upright: {up[-500:].min():.3f}"
-    # Actually moved forward.
-    assert float(state.pos[0, 0]) > 1.0
+    (state, _), metrics = fullorder.rollout(
+        robot, mpc, gait, cmd, num_ticks=1500,
+        state0=_jittered_init(robot, B, seed=27),
+    )
+    h = _per_scenario(metrics, "height", 500).mean(axis=0)
+    v = _per_scenario(metrics, "vel_err", 500).mean(axis=0)
+    up = _per_scenario(metrics, "upright", 500).min(axis=0)
+    assert np.all(np.isfinite(np.asarray(metrics["height"])))
+    ok = (
+        (h > 0.33) & (h < 0.42) & (v < 0.15) & (up > 0.9)
+        & (np.asarray(state.pos[:, 0]) > 1.0)
+    )
+    _pass_band(ok, B - 1)
 
 
 def test_fullorder_turning_trot():
     """Yaw-rate command end-to-end in the articulated env: the robot walks
     a curved path (the reference only ever commands straight lines in its
     sims; yaw-rate handling exists in its MPC, ref mpc.py:83-92)."""
-    B = 1
+    B = 4
     mpc = MpcParams(horizon=10)
     tile = lambda t: jax.tree.map(
         lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
@@ -381,13 +436,18 @@ def test_fullorder_turning_trot():
     gait = tile(Gaits.trotting10())
     cmd = tile(Command.trot_forward(0.8).replace(yaw_turn_rate=jnp.float32(0.5)))
     (state, _), metrics = fullorder.rollout(
-        robot, mpc, gait, cmd, num_ticks=4000, cmd_ramp_ticks=500
+        robot, mpc, gait, cmd, num_ticks=4000, cmd_ramp_ticks=500,
+        state0=_jittered_init(robot, B, seed=28),
     )
-    up = np.asarray(metrics["upright"])
-    assert not np.asarray(metrics["diverged"]).any()
-    assert up[-500:].min() > 0.95
+    up = _per_scenario(metrics, "upright", 500).min(axis=0)
     rpy = np.asarray(jax.vmap(lie.quat_to_zyx)(state.quat))
     # Turned substantially (tracking is sluggish through the +-0.1 m position
     # clamp, but the path must genuinely curve) and translated in BOTH axes.
-    assert rpy[0, 2] > 0.5, f"yaw only {rpy[0, 2]:.2f} rad"
-    assert float(state.pos[0, 0]) > 1.5 and float(state.pos[0, 1]) > 0.5
+    ok = (
+        (up > 0.95)
+        & ~np.asarray(metrics["diverged"]).any(axis=0)
+        & (rpy[:, 2] > 0.5)
+        & (np.asarray(state.pos[:, 0]) > 1.5)
+        & (np.asarray(state.pos[:, 1]) > 0.5)
+    )
+    _pass_band(ok, B - 1)
