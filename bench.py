@@ -302,7 +302,8 @@ def bench_stages(batch, horizon, iters=10):
     if on_tpu:
         from pympc_quadruped_tpu.ops.qp import admm_pallas
 
-        iterate = jax.jit(lambda o: admm_pallas.iterate_fused(o, P0, cfg))
+        # The shipping split path: inversion kernel + iteration kernel.
+        iterate = jax.jit(lambda o: admm_pallas.invert_iterate(o, P0, cfg))
     else:
         iterate = jax.jit(lambda o: admm_fast.iterate_jnp(o, P0, cfg))
     t_build = _time(build, (x_t, yaw, feet, X_ref, tables), iters)
@@ -349,10 +350,11 @@ def pallas_parity(batch=256, horizon=10):
     H, g, mv = jax.vmap(
         lambda xi, yi, fi, Xi, ti: refmpc.build_qp(robot, mpc, xi, yi, fi, Xi, ti)
     )(x_t, yaw, feet, X_ref, tables)
-    U_p = np.asarray(
-        admm_fast.solve_batch(H, g, tables, robot.fz_max, mpc,
-                              backend="pallas_fused") * mv
+    U_p_raw, lam_p = admm_fast.solve_batch(
+        H, g, tables, robot.fz_max, mpc, backend="pallas_split",
+        return_duals=True,
     )
+    U_p = np.asarray(U_p_raw) * np.asarray(mv)
     U_j = np.asarray(
         admm_fast.solve_batch(H, g, tables, robot.fz_max, mpc, backend="jnp") * mv
     )
@@ -398,8 +400,21 @@ def pallas_parity(batch=256, horizon=10):
     traj_vel = float(dX[:, :, 9:12].max())
     traj_ok = traj_pos < 0.01 and traj_vel < 0.10
 
+    # Self-certification (r4): f64 KKT residuals of the KERNEL's own
+    # (U, lam) against the RAW problem data — independent of the jnp
+    # sibling, so a common-mode setup bug cannot pass both gates
+    # (VERDICT r3 #3; solver contract of ref linear_mpc/mpc.py:277-290).
+    from pympc_quadruped_tpu.utils import observability
+
+    kkt = observability.kkt_residuals_f64(
+        H, g, tables, robot.fz_max, U_p, lam_p, mpc
+    )
+    kkt_ok, kkt_fields = observability.kkt_gate(kkt, robot.fz_max)
+
     return {
         "pallas_parity_ok": bool(finite and cost_ok and feas_ok and traj_ok),
+        "pallas_kkt_ok": kkt_ok,
+        **{f"pallas_{k}": v for k, v in kkt_fields.items()},
         "pallas_cost_excess_rel": round(cost_excess, 8),
         "pallas_cone_violation_N": round(viol, 5),
         "pallas_fzmax_excess_N": round(max(over, 0.0), 5),

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--vx", type=float, default=1.0)
     ap.add_argument("--terrain", choices=["none", "rough", "slope"], default="none")
     ap.add_argument("--estimator", action="store_true", help="drive via the KF")
+    ap.add_argument("--contact-source", choices=["plan", "measured"],
+                    default="plan", dest="contact_source",
+                    help="KF leg-odometry gate: planned stance schedule or "
+                         "touch synthesized from held GRFs (robust to "
+                         "schedule slip; see srb_env.rollout)")
     ap.add_argument("--chunk-ticks", type=int, default=500)
     ap.add_argument("--ckpt-dir", default=None, help="checkpoint/resume directory")
     ap.add_argument("--stop-after-chunks", type=int, default=None,
@@ -119,6 +124,7 @@ def main():
             init_state=sweep_state["env"], carry_in=sweep_state["carry"],
             tick0=sweep_state["tick"], terrain=terrain_b, estimator=est,
             key=key, return_full_carry=True,
+            contact_source=args.contact_source,
         )
         tail = metrics["vel_err"][-args.chunk_ticks // 4:]
         out = {
@@ -129,6 +135,10 @@ def main():
         }
         if est is not None:
             out["mean_est_vel_err"] = jnp.mean(metrics["est_vel_err"])
+            if args.contact_source == "measured":
+                out["mean_contact_mismatch"] = jnp.mean(
+                    metrics["contact_mismatch"]
+                )
         new_state = {
             "env": state,
             "carry": carry,

@@ -95,9 +95,13 @@ def _solve_branch(robot, mpc, cmd, mpc_carry, ks, x_t, vel_des_world, table, sol
     overwrites it (ref ``linear_mpc/mpc.py:99,108``).
     """
     solver, ipm_cfg, admm_cfg, af_cfg = solver_cfg
+    # The stance table makes the reference flight-aware (ballistic z/vz
+    # rows for jumping gaits; BITWISE no-op for any gait without a
+    # full-flight step — see refmpc._flight_rows).
     mpc_carry, X = jax.vmap(
-        lambda c, x, v, cm, r: refmpc.reference_trajectory(c, x, v, cm, mpc, r)
-    )(mpc_carry, x_t, vel_des_world, cmd, robot)
+        lambda c, x, v, cm, r, t: refmpc.reference_trajectory(
+            c, x, v, cm, mpc, r, t)
+    )(mpc_carry, x_t, vel_des_world, cmd, robot, table)
 
     yaw = x_t[:, 2]
     if solver == "ipm_parity":

@@ -92,8 +92,22 @@ def reference_trajectory(
     cmd: Command,
     mpc: MpcParams,
     robot: RobotParams,
+    gait_table: jnp.ndarray | None = None,
 ):
-    """Solve-tick X_ref build; also returns the updated carry (ref :110-170)."""
+    """Solve-tick X_ref build; also returns the updated carry (ref :110-170).
+
+    With ``gait_table`` (the (4h,) stance table of the SAME horizon the QP
+    uses) the height/vertical-velocity rows become FLIGHT-AWARE: horizon
+    steps where no leg is in stance get the ballistic arc the gait implies
+    (z rising to the apex and back, vz = vz_takeoff - g*dt*j), and stance
+    steps of a flight-bearing gait get a linear vz ramp from -vz_takeoff to
+    +vz_takeoff (the compression/push-off the jump needs).  For gaits with
+    no full-flight step (every trot/pace/bound table) the rows are selected
+    back to the reference's constant-height form BITWISE, so this is a pure
+    extension: the reference's MPC cannot express jumping16's 0.24 s flight
+    phases at all (its X_ref holds z = const, vz = 0 everywhere,
+    ref ``linear_mpc/mpc.py:154-168`` — and its jumping16 is never
+    demonstrated anywhere; ref ``linear_mpc/gait.py:19``)."""
     h = mpc.horizon
     dt = mpc.dt_predict
 
@@ -134,6 +148,13 @@ def reference_trajectory(
     X = X.at[:, 10].set(vel_des_world[1])
     X = X.at[:, 12].set(-mpc.gravity)
 
+    if gait_table is not None:
+        z_ref, vz_ref = _flight_rows(
+            gait_table, robot.base_height_des, mpc
+        )
+        X = X.at[:, 5].set(z_ref)
+        X = X.at[:, 11].set(vz_ref)
+
     new_carry = carry.replace(
         xpos_des=xpos,
         ypos_des=ypos,
@@ -141,6 +162,74 @@ def reference_trajectory(
         pitch_comp_int=pitch_int,
     )
     return new_carry, X
+
+
+# Amplitude of the flight-reference arc relative to the dt_predict-ballistic
+# one.  The reference's dt quirk (prediction dt 0.05 vs real segment time
+# 0.02, ref mpc.py:38) makes the REAL flight 2.5x shorter than the planned
+# one, so the QP must be asked for a hotter arc than its own model implies
+# to achieve liftoff in real time.  Measured (r4 SRB sweep, jumping16 at
+# 0.4 m/s, scale 0.25..2.0): survival and trough height increase
+# monotonically with scale — 1.0 hops at trough 0.08 m (marginal), 2.0 at
+# trough 0.28 m / apex 0.50 m with upright 0.998; real-time-dt arcs (the
+# "principled" 0.02 s version) DIVERGE because they contradict the QP's
+# internal dt_predict dynamics.
+FLIGHT_APEX_SCALE = 2.0
+
+
+def _flight_rows(gait_table: jnp.ndarray, z_des, mpc: MpcParams):
+    """Flight-aware (z_ref, vz_ref) horizon rows from the stance table.
+
+    Run-length decomposition of the per-step any-contact vector (unrolled —
+    the horizon is static and small), then per step k with window position
+    j and window length L (dt = the prediction step, matching the QP's own
+    internal dynamics — the reference's dt quirk pervades the flight arc
+    exactly as it does everything else):
+
+    - flight step:  vz_to = g dt (L-1)/2 (closes the discrete arc),
+      vz = vz_to - g dt j,  z = z_des + dt j vz_to - g dt^2 j(j-1)/2;
+    - stance step of a flight-bearing gait: vz ramps -vz_to .. +vz_to
+      (mid-step samples), z = z_des, with vz_to from the table's longest
+      flight window;
+    - no flight anywhere in the table: constant z_des / zero vz, selected
+      bitwise (trot/pace/bound references are unchanged).
+    """
+    h = mpc.horizon
+    dt = mpc.dt_predict
+    g = mpc.gravity
+    contact = (gait_table.reshape(h, 4).max(axis=1) > 0.5)
+
+    # Run-length position (j) and length (L) per step, unrolled.
+    pos = [jnp.int32(0)]
+    for k in range(1, h):
+        pos.append(jnp.where(contact[k] == contact[k - 1], pos[-1] + 1, 0))
+    tail = [jnp.int32(0)] * h
+    for k in range(h - 2, -1, -1):
+        tail[k] = jnp.where(contact[k] == contact[k + 1], tail[k + 1] + 1, 0)
+    j = jnp.stack(pos).astype(jnp.float32)                    # (h,)
+    L = (jnp.stack(pos) + jnp.stack(tail) + 1).astype(jnp.float32)
+
+    has_flight = jnp.any(~contact)
+    flight = ~contact
+    # Takeoff velocity per window; stance ramps use the longest flight
+    # window seen anywhere in the table (the gait's structural flight).
+    vz_to_flight = 0.5 * g * dt * (L - 1.0)
+    L_flight = jnp.max(jnp.where(flight, L, 0.0))
+    vz_to_stance = 0.5 * g * dt * jnp.maximum(L_flight - 1.0, 0.0)
+
+    s = jnp.float32(FLIGHT_APEX_SCALE)
+    z_flight = z_des + s * (
+        dt * j * vz_to_flight - 0.5 * g * dt * dt * j * (j - 1.0)
+    )
+    vz_flight = s * (vz_to_flight - g * dt * j)
+    vz_stance = s * (-vz_to_stance + 2.0 * vz_to_stance * (j + 0.5) / L)
+
+    z_ref = jnp.where(flight, z_flight, z_des)
+    vz_ref = jnp.where(flight, vz_flight, vz_stance)
+    # Bitwise no-op for flight-free gaits.
+    z_ref = jnp.where(has_flight, z_ref, z_des)
+    vz_ref = jnp.where(has_flight, vz_ref, 0.0)
+    return z_ref, vz_ref
 
 
 def build_qp(

@@ -33,10 +33,16 @@ gait.py:20); A1 trots under :func:`a1_env_config`, which adapts three
 reference quirks tuned for the reference's own simulators rather than
 physical A1 (see the function docstring).  Bounding's two-leg landings are
 what set the contact default kn = 1e4 (see ContactParams).  jumping16
-(0.6 s of flight per cycle) falls everywhere, MuJoCo included — beyond the
-linear SRB MPC, not an env gap.  Standstill->speed command STEPS are the
-fragile phase at every speed; ``cmd_ramp_ticks`` (a 0.5 s ramp) restores
-robust margins (r3 study).
+(0.24 s of real flight per cycle) needs the r4 FLIGHT-AWARE reference
+(``refmpc._flight_rows``): with it the SRB env survives it cleanly
+(tests/test_gait_sweep.py) and THIS env hops continuously without falling
+— trough 0.26 m, apex 0.45 m, advancing at the command — but with attitude
+wobble (upright_tail ~0.73 at 0.2 m/s, substeps=2): landing torques excite
+roll/pitch the 4-step stance window can't fully recapture.  The vanilla
+constant-height reference (all the reference's own MPC can express,
+ref ``mpc.py:154-168``) falls in BOTH envs.  Standstill->speed command
+STEPS are the fragile phase at every speed; ``cmd_ramp_ticks`` (a 0.5 s
+ramp) restores robust margins (r3 study).
 """
 from __future__ import annotations
 
@@ -145,6 +151,40 @@ def a1_env_config():
         kp_swing=jnp.full((3,), 300.0, jnp.float32),
     )
     return robot, ContactParams(tau_max=jnp.float32(33.5))
+
+
+def a1_isaacgym_parity_config():
+    """A1 under the reference's ACTUATION conditions: swing PD Kp = 700
+    (ref ``robot_configs.py:55``) and NO torque clamp (the reference applies
+    raw torques in both simulators, ref ``isaacgym_a1.py:162``), on the
+    tuned dynamics model (true trunk inertia, reachable height — see
+    :func:`a1_env_config` for why the reference's model fudges are
+    simulator tunings, not robot properties).
+
+    Run it with ``rollout(..., substeps=4)``: the unclamped 700-gain PD
+    exceeds the explicit 1 ms integrator's stability margin near leg
+    singularities (NaN blowup at 1.2+ m/s with substeps=1) — the
+    reference's own simulators are implicit (PhysX TGS / MuJoCo) and absorb
+    that stiffness implicitly.
+
+    Measured envelope (r4 grid, docs/a1_parity_experiment.md): even with
+    substeps and stiff-contact variants, this configuration does NOT
+    sustain the reference's 1.4 m/s command in the penalty-contact env
+    (falls near the ~1.0 m/s resonant band or rides at ~0.6 m/s actual);
+    the repo's MuJoCo harness (implicit contact) tracks ~1.2 m/s at the
+    1.4 command, and the reference itself records no evidence of its
+    IsaacGym quality at 1.4 (ref ``scripts/isaacgym_a1.py:98``).  The
+    clamped :func:`a1_env_config` at <= 0.8 m/s remains the headline
+    on-device A1 claim."""
+    from pympc_quadruped_tpu.models.robots import a1
+
+    base = a1()
+    robot = base.replace(
+        inertia=base.inertia / 10.0,
+        base_height_des=jnp.float32(0.32),
+        kp_swing=jnp.full((3,), 700.0, jnp.float32),
+    )
+    return robot, ContactParams()  # tau_max default = effectively unclamped
 
 
 class ContactParams(struct.PyTreeNode):
@@ -359,6 +399,7 @@ def rollout(
     sensor_noise=None,
     key=None,
     cmd_ramp_ticks: int | None = None,
+    substeps: int = 1,
 ):
     """Batched closed-loop torque-driven rollout under ``lax.scan``.
 
@@ -436,6 +477,30 @@ def rollout(
         carry0 = (carry0, kf0, vworld0, f0)
 
     dt = jnp.float32(mpc.dt_control)
+    # ``substeps`` > 1 integrates the articulated dynamics at dt/substeps
+    # under a zero-order-held torque command (what MuJoCo/PhysX do with
+    # their internal steps at a 1 kHz control rate).  Needed for stiff
+    # unclamped actuation configs: the reference's A1 swing PD of 700
+    # (ref robot_configs.py:55) with no torque clamp exceeds the explicit
+    # 1 ms integrator's stability margin near leg singularities — its own
+    # simulators are implicit (PhysX TGS / MuJoCo), so parity studies of
+    # that config need the finer step (see a1_isaacgym_parity_config).
+    sub_dt = dt / jnp.float32(substeps)
+
+    def _integrate(m, r, s, t, tr=None):
+        if substeps == 1:
+            return (physics_step(m, r, cp, s, t, dt, tr) if tr is not None
+                    else physics_step(m, r, cp, s, t, dt))
+
+        def one(s_, _):
+            if tr is not None:
+                s2, f = physics_step(m, r, cp, s_, t, sub_dt, tr)
+            else:
+                s2, f = physics_step(m, r, cp, s_, t, sub_dt)
+            return s2, f
+
+        s_final, fs = jax.lax.scan(one, s, None, length=substeps)
+        return s_final, fs[-1]
 
     def tick_fn(carry, k):
         env_state, inner = carry
@@ -480,14 +545,14 @@ def rollout(
         )
         if terrain is not None:
             env_state, f_feet = jax.vmap(
-                lambda m, r, s, t, tr: physics_step(m, r, cp, s, t, dt, tr)
+                lambda m, r, s, t, tr: _integrate(m, r, s, t, tr)
             )(model_b, robot_b, env_state, out.torques, terrain)
             ground_b = jax.vmap(
                 lambda t, p: jnp.mean(terrain_lib.height_at(t, p[None, :2]))
             )(terrain, env_state.pos)
         else:
             env_state, f_feet = jax.vmap(
-                lambda m, r, s, t: physics_step(m, r, cp, s, t, dt)
+                lambda m, r, s, t: _integrate(m, r, s, t)
             )(model_b, robot_b, env_state, out.torques)
             ground_b = jnp.zeros((B,), jnp.float32)
 

@@ -286,6 +286,7 @@ def rollout(
     tick0=0,
     return_full_carry: bool = False,
     cmd_ramp_ticks: int | None = None,
+    contact_source: str = "plan",
 ):
     """Closed-loop batched rollout under ``lax.scan``.
 
@@ -300,9 +301,21 @@ def rollout(
     With ``estimator`` the controller is driven by the two-stage Kalman
     filter (BASELINE config 2) instead of ground truth: each tick
     synthesizes noisy IMU/encoder readings (:func:`synthesize_sensors`),
-    runs :func:`pympc_quadruped_tpu.estimation.kf.update` gated by the gait
-    schedule's planned contacts, and feeds the controller the estimate.
-    Metrics then include per-tick estimator position/velocity errors.
+    runs :func:`pympc_quadruped_tpu.estimation.kf.update` gated by foot
+    contact, and feeds the controller the estimate.  Metrics then include
+    per-tick estimator position/velocity errors.
+
+    ``contact_source`` picks the KF's leg-odometry gate: ``"plan"`` (default
+    for this kinematic env — feet ARE pinned exactly on the gait schedule)
+    uses the planned stance; ``"measured"`` synthesizes a touch signal from
+    the currently-held GRFs (normal force > 1 N — what a foot force sensor
+    reads in this world, the robust gating of the full-order env and the
+    MuJoCo harness, ref touch sensors ``robot/aliengo/aliengo.xml:244-260``).
+    The two DISAGREE transiently: held forces lag the schedule by up to one
+    solve period (20 ticks) at every stance transition, so "measured" mode
+    exercises exactly the schedule-slip robustness the plan gate cannot.
+    With it, metrics carry ``contact_mismatch`` (mean |measured - plan| over
+    legs per tick).
 
     Chunked sweeps resume exactly: pass the previous chunk's env state as
     ``init_state``, its full carry (:func:`init_full_carry` structure) as
@@ -335,11 +348,23 @@ def rollout(
                 robot, env_state, held_forces,
                 jax.random.split(jax.random.fold_in(key, tick), B),
             )
-            contact = jax.vmap(
+            plan_contact = jax.vmap(
                 lambda g: (gaitsched.swing_state(g, mpc, tick) == 0.0).astype(
                     jnp.float32
                 )
             )(gait)
+            if contact_source == "measured":
+                # A touch sensor reads the force the foot actually carries:
+                # in this kinematic world that is the held GRF on a PINNED
+                # (plan-stance) foot — an airborne foot cannot fire it.  The
+                # gate therefore lags the plan at every stance ONSET (the
+                # held solve predates the transition, so fz is still ~0 for
+                # up to one solve period): late-touchdown detection, the
+                # schedule-slip case the plan gate never exercises.
+                held_fz = held_forces.reshape(B, 4, 3)[:, :, 2]
+                contact = plan_contact * (held_fz > 1.0).astype(jnp.float32)
+            else:
+                contact = plan_contact
             kf_state = jax.vmap(
                 lambda st, r, sn, c: kf.update(
                     st, r, sn.gyro, sn.accel, sn.q, sn.qdot, c, estimator
@@ -405,6 +430,10 @@ def rollout(
             metrics["est_vel_err"] = jnp.linalg.norm(
                 est.x[:, 3:6] - env_state.vel, axis=-1
             )
+            if contact_source == "measured":
+                metrics["contact_mismatch"] = jnp.mean(
+                    jnp.abs(contact - plan_contact), axis=-1
+                )
         return (env_state, new_carry), metrics
 
     ticks = jnp.int32(tick0) + jnp.arange(num_ticks, dtype=jnp.int32)

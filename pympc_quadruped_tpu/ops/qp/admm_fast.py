@@ -431,11 +431,12 @@ def solve_batch(H, g, gait_table, fz_max, mpc: MpcParams,
     for the caller to carry into the next solve.
     """
     if backend == "auto":
-        # pallas_fused (K assembled in XLA, inverted+iterated in kernel)
-        # remains the shipping default: the r4 pallas_full variant moves the
-        # whole setup in-kernel but currently pays XLA->custom-call relayout
-        # on the H producer (under investigation, see docs/performance.md).
-        backend = "pallas_fused" if jax.default_backend() == "tpu" else "jnp"
+        # pallas_split (r4): inversion and iteration in SEPARATE kernels,
+        # each at its best tile, joined by a layout-clean kernel->kernel
+        # handoff — measured 44.6 ms vs the r3 fused kernel's 49.1 ms at
+        # batch 4096 (docs/performance.md).  pallas_fused and pallas_full
+        # remain selectable for comparison.
+        backend = "pallas_split" if jax.default_backend() == "tpu" else "jnp"
     P0 = cone_pattern(mpc.friction_coef, mpc.horizon)
     if backend == "pallas_full":
         # Everything after build_qp happens inside one kernel (r4): Ruiz,
@@ -449,7 +450,7 @@ def solve_batch(H, g, gait_table, fz_max, mpc: MpcParams,
             return U, lam
         return U
     ops = setup(H, g, gait_table, fz_max, mpc, cfg,
-                invert=(backend != "pallas_fused"))
+                invert=backend not in ("pallas_fused", "pallas_split"))
     init = None
     if warm is not None:
         U0, lam0 = warm
@@ -461,7 +462,11 @@ def solve_batch(H, g, gait_table, fz_max, mpc: MpcParams,
         z0 = jnp.clip(ops.es * (U0 @ P0.T), ops.l, ops.u)
         y0 = jnp.where(gated, lam0 / safe_es, 0.0)
         init = (x0, z0, y0)
-    if backend == "pallas_fused":
+    if backend == "pallas_split":
+        from pympc_quadruped_tpu.ops.qp import admm_pallas
+
+        x, y = admm_pallas.invert_iterate(ops, P0, cfg, init)
+    elif backend == "pallas_fused":
         from pympc_quadruped_tpu.ops.qp import admm_pallas
 
         x, y = admm_pallas.iterate_fused(ops, P0, cfg, init)

@@ -211,6 +211,111 @@ def _schur_inv_t(M):
     return rec(sym(M))
 
 
+def _invert_kernel(K_ref, Kinv_ref, *, newton_schulz_iters: int):
+    """Standalone SPD inversion on a VMEM-resident tile (same recursion as
+    the fused kernel).  Split-pipeline experiments: a Pallas-produced Kinv
+    feeds the Pallas iterate kernel in DEFAULT layout, so the r3 XLA->
+    custom-call relayout war does not apply to a kernel->kernel handoff."""
+    K = K_ref[:]
+    n = K.shape[-1]
+    Kinv = _schur_inv_t(K)
+    eye2 = 2.0 * jnp.eye(n, dtype=K.dtype)
+    for _ in range(newton_schulz_iters):
+        Kinv = _bmm(Kinv, eye2[None] - _bmm(K, Kinv))
+        Kinv = 0.5 * (Kinv + jnp.swapaxes(Kinv, -1, -2))
+    Kinv_ref[:] = Kinv
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "ns_iters"))
+def invert_spd(K, tile: int = 16, ns_iters: int = 1):
+    """Batched in-VMEM SPD inversion of already-padded (B, n, n) operands
+    (n a power-of-two multiple of the 16-leaf; B divisible by a legal tile).
+    """
+    B, n, _ = K.shape
+    tile = _pick_tile(B, tile)
+    kern = functools.partial(_invert_kernel, newton_schulz_iters=ns_iters)
+    return pl.pallas_call(
+        kern,
+        grid=(B // tile,),
+        in_specs=[pl.BlockSpec((tile, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tile, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, n), jnp.float32),
+    )(K)
+
+
+def invert_iterate(ops, P0: jnp.ndarray, cfg, init=None,
+                   invert_tile: int = 16):
+    """Split two-kernel solve: in-VMEM Schur inversion (small tile — the
+    recursion's working set is ~5x the operand) feeding the iteration
+    kernel (tile 64 — iteration state is just Kinv + vectors) through a
+    kernel->kernel handoff.
+
+    Why this beats the single fused kernel (r4 measured, batch 4096, h=10:
+    44.6 ms end-to-end vs 49.1 ms fused): both stages run at THEIR best
+    tile instead of sharing the inversion's VMEM-constrained 16, and a
+    Pallas-produced operand feeds a Pallas consumer in default layout, so
+    the r3 XLA->custom-call relayout war does not reappear at the seam.
+
+    Interface mirrors :func:`iterate_fused`: ``ops`` must be the
+    un-inverted :class:`admm_fast.AdmmKktOperands`; returns SCALED (x, y).
+    """
+    from pympc_quadruped_tpu.ops.qp import admm_fast
+
+    if not isinstance(ops, admm_fast.AdmmKktOperands):
+        raise TypeError(
+            "invert_iterate needs AdmmKktOperands (setup(invert=False)); "
+            f"got {type(ops).__name__}"
+        )
+    B, n = ops.q.shape
+    m = ops.es.shape[-1]
+    if init is None:
+        init = (
+            jnp.zeros((B, n), jnp.float32),
+            jnp.zeros((B, m), jnp.float32),
+            jnp.zeros((B, m), jnp.float32),
+        )
+    x0, z0, y0 = init
+
+    # Pad the primal dimension for the inversion recursion (identity pad
+    # block — decoupled, see _iterate_fused's padding notes) and batch-pad
+    # inert scenarios for Mosaic-legal tiles.
+    np_ = _pow2_pad(n)
+    pad = np_ - n
+    Bp = _pad_batch_to(B, 64)
+    bpad = Bp - B
+
+    K = ops.K
+    q, d, es, rho, l, u = ops.q, ops.d, ops.es, ops.rho, ops.l, ops.u
+    if bpad:
+        eyeK = jnp.broadcast_to(
+            jnp.eye(n, dtype=K.dtype), (bpad, n, n)
+        )
+        K = jnp.concatenate([K, eyeK], axis=0)
+        zb = lambda a: jnp.pad(a, ((0, bpad),) + ((0, 0),) * (a.ndim - 1))
+        q, d, es, l, u, x0, z0, y0 = map(zb, (q, d, es, l, u, x0, z0, y0))
+        d = d.at[B:].set(1.0)
+        rho = jnp.concatenate(
+            [rho, jnp.ones((bpad, m), rho.dtype)], axis=0
+        )
+    if pad:
+        ii = jnp.arange(np_)
+        diag_ext = jnp.where(ii >= n, 1.0, 0.0).astype(K.dtype)
+        K = jnp.pad(K, ((0, 0), (0, pad), (0, pad))) + jnp.diag(diag_ext)[None]
+        zpad = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
+        q, x0 = zpad(q), zpad(x0)
+        d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=1.0)
+        P0 = jnp.pad(P0, ((0, 0), (0, pad)))
+
+    Kinv = invert_spd(K, tile=invert_tile, ns_iters=cfg.newton_schulz_iters)
+    x, y = _iterate(
+        Kinv, q, d, es, rho, l, u, P0, x0, z0, y0,
+        cfg.iterations, cfg.sigma, cfg.alpha, cfg.tile,
+    )
+    return x[:B, :n], y[:B]
+
+
 def _fused_kernel(K_ref, q_ref, d_ref, es_ref, rho_ref, l_ref, u_ref,
                   P0T_ref, P0_ref, x0_ref, z0_ref, y0_ref, x_ref, y_ref, *,
                   iterations: int, sigma: float, alpha: float,

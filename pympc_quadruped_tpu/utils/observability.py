@@ -129,6 +129,36 @@ def kkt_residuals_f64(
     }
 
 
+def kkt_gate(res: Dict[str, np.ndarray], fz_max) -> tuple[bool, Dict[str, float]]:
+    """Pass/fail gate over :func:`kkt_residuals_f64` output at p99.
+
+    Thresholds (set from the r4 on-chip measurement: the shipping split
+    kernel lands at stat_rel p99 ~1.2e-3, primal ~0.04 N, comp 0.0 on the
+    trot family; a 5% setup-bug injection moves stat_rel to ~3.9e-2 —
+    34x the clean level, so the bands below separate cleanly):
+
+    - stationarity p99 < 5e-3 of gradient scale,
+    - primal violation p99 < 1e-3 * fz_max (the BASELINE feasibility bar),
+    - complementarity p99 < 1e-2 N.
+    """
+    fz = float(np.max(np.asarray(fz_max)))
+    stat = float(np.percentile(res["stat_rel"], 99))
+    primal = float(np.percentile(res["primal_N"], 99))
+    comp = float(np.percentile(res["comp_N"], 99))
+    ok = (
+        bool(np.all(res["finite"]))
+        and stat < 5e-3
+        and primal < 1e-3 * fz
+        and comp < 1e-2
+    )
+    return ok, {
+        "kkt_stat_rel_p99": round(stat, 6),
+        "kkt_primal_N_p99": round(primal, 6),
+        "kkt_comp_N_p99": round(comp, 6),
+        "kkt_finite": bool(np.all(res["finite"])),
+    }
+
+
 class MetricsLogger:
     """Accumulate device scalar dicts; drain to host in one async transfer.
 

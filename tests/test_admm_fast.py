@@ -172,7 +172,7 @@ def test_cone_pattern_matches_reference_rows():
 @pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="Pallas TPU kernel needs a TPU"
 )
-@pytest.mark.parametrize("backend", ["pallas", "pallas_fused"])
+@pytest.mark.parametrize("backend", ["pallas", "pallas_fused", "pallas_split", "pallas_full"])
 def test_pallas_matches_jnp_quality(backend):
     """TPU-lane quality gate for both kernels: the iterate-only kernel and
     the shipping fused kernel (in-VMEM Schur inversion + iterations) each
@@ -212,3 +212,49 @@ def test_fused_kernel_randomization_stress(B):
     assert np.isfinite(U).all()
     fz = U[:, 2::3].sum(-1)
     assert 5.0 < fz.min() and fz.max() < 500.0, (fz.min(), fz.max())
+
+
+def _kkt_case(B=32, backend="jnp", corrupt=False):
+    from bench import build_inputs
+    from pympc_quadruped_tpu.control import refmpc
+    from pympc_quadruped_tpu.utils import observability
+
+    robot, mpc, x_t, yaw, feet, X_ref, tables = build_inputs(B, H_STEPS, seed=5)
+    H, g, mv = jax.jit(jax.vmap(
+        lambda xi, yi, fi, Xi, ti: refmpc.build_qp(robot, mpc, xi, yi, fi, Xi, ti)
+    ))(x_t, yaw, feet, X_ref, tables)
+    g_solve = g * 1.05 if corrupt else g
+    U, lam = admm_fast.solve_batch(
+        H, g_solve, tables, robot.fz_max, mpc, backend=backend,
+        return_duals=True,
+    )
+    res = observability.kkt_residuals_f64(
+        H, g, tables, robot.fz_max, np.asarray(U) * np.asarray(mv), lam, mpc
+    )
+    return observability.kkt_gate(res, robot.fz_max)
+
+
+def test_kkt_certificate_passes_and_trips_on_injection():
+    """The f64 KKT certificate (stationarity/primal/complementarity of the
+    returned (U, lam) against the RAW problem data) passes on a clean solve
+    and FAILS on a seeded setup-bug injection (g scaled 5% inside the
+    solver only) — the independence property the sibling-comparison parity
+    gate lacks (a common-mode setup bug passes both sides of that one)."""
+    ok, fields = _kkt_case()
+    assert ok, fields
+    bad_ok, bad_fields = _kkt_case(corrupt=True)
+    assert not bad_ok, bad_fields
+    assert bad_fields["kkt_stat_rel_p99"] > 5 * fields["kkt_stat_rel_p99"]
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="Pallas TPU kernel needs a TPU"
+)
+@pytest.mark.parametrize("backend", ["pallas_split", "pallas_full"])
+def test_kkt_certificate_kernels(backend):
+    """TPU lane: the kernels' own (U, lam) pairs carry a valid f64 KKT
+    certificate, and the certificate trips on an injected setup bug."""
+    ok, fields = _kkt_case(backend=backend)
+    assert ok, fields
+    bad_ok, _ = _kkt_case(backend=backend, corrupt=True)
+    assert not bad_ok

@@ -72,3 +72,52 @@ def test_mixed_batch_matches_uniform_batch():
         np.testing.assert_array_equal(
             np.asarray(mixed.pos[i]), np.asarray(uniform.pos[i]), err_msg=name
         )
+
+
+def test_jumping16_survives_with_flight_aware_reference():
+    """JUMPING16 — the gait the reference defines but never demonstrates
+    anywhere (ref linear_mpc/gait.py:19) — survives closed-loop in the SRB
+    env at 0.4 m/s under the r4 flight-aware reference (ballistic z/vz
+    rows during full-flight horizon steps + takeoff-velocity ramp in
+    stance, refmpc._flight_rows).  Survival uses the sweep's own criteria
+    over 8 jittered scenarios; the vanilla constant-height reference rides
+    the trough at ~0.08 m and fails this gate marginally (r4 scale sweep,
+    FLIGHT_APEX_SCALE docstring)."""
+    import numpy as np
+    from pympc_quadruped_tpu.env import srb_env
+    from pympc_quadruped_tpu.models.command import Command
+    from pympc_quadruped_tpu.models.gaits import Gaits
+    from pympc_quadruped_tpu.models.mpc import MpcParams
+    from pympc_quadruped_tpu.models.robots import aliengo
+
+    B = 8
+    mpc = MpcParams(horizon=16)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
+    )
+    robot = tile(aliengo())
+    gait = tile(Gaits.jumping16())
+    cmd = tile(Command.trot_forward(0.4))
+    s0 = jax.vmap(srb_env.default_init_state)(robot)
+    rng = np.random.default_rng(5)
+    dp = np.zeros((B, 3), np.float32)
+    dp[1:, :2] = rng.uniform(-0.01, 0.01, (B - 1, 2))
+    s0 = s0.replace(pos=s0.pos + jnp.asarray(dp))
+    (state, _), m = srb_env.rollout(
+        robot, mpc, gait, cmd, num_ticks=2000, auto_reset=False,
+        cmd_ramp_ticks=500, init_state=s0,
+    )
+    up = np.asarray(m["upright"])
+    h = np.asarray(m["height"])
+    alive = (
+        (np.asarray(state.pos[:, 2]) > 0.1)
+        & (np.asarray(state.pos[:, 2]) < 1.0)
+        & (up[-500:].min(axis=0) > 0.6)
+        & ~np.asarray(m["diverged"]).any(axis=0)
+    )
+    assert alive.mean() >= 0.9, f"survival {alive.mean():.2f}"
+    # It actually FLIES: the height oscillation spans a real hop, not a
+    # crouch (trough above half the desired height, apex above it).
+    assert h.min() > 0.19 and h.max() > 0.45, (h.min(), h.max())
+    # And it locomotes under the velocity command.
+    assert np.asarray(state.pos[:, 0]).min() > 0.4

@@ -285,3 +285,35 @@ def test_trot_closed_loop_on_kf_estimates(robot_fn, name):
     # test_kf_converges_from_wrong_init for why absolute x/y is soft).
     assert np.asarray(metrics["est_pos_err"][-200:]).mean() < 0.1
     assert np.asarray(metrics["est_vel_err"][-200:]).mean() < 0.25
+
+
+def test_measured_contact_gating_disagrees_and_stays_bounded():
+    """``contact_source="measured"`` (touch synthesized from the held GRFs)
+    vs the planned schedule: the two gates MUST disagree transiently — held
+    forces lag the plan by up to one solve period at every stance
+    transition — and the KF must stay bounded through that schedule slip
+    (the robustness the plan gate never exercises; VERDICT r3 #9; matches
+    the reference's touch sensors, ref robot/aliengo/aliengo.xml:244-260)."""
+    B = 2
+    mpc = MpcParams(horizon=10)
+    tile = lambda t: jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t)
+    robot = tile(aliengo())
+    gait = tile(Gaits.trotting10())
+    cmd = tile(Command.trot_forward(1.0))
+    (state, _), metrics = srb_env.rollout(
+        robot, mpc, gait, cmd, num_ticks=600,
+        estimator=kf.KfParams.default(),
+        key=jax.random.PRNGKey(13),
+        auto_reset=False,
+        contact_source="measured",
+    )
+    mm = np.asarray(metrics["contact_mismatch"])        # (T,B)
+    assert not np.any(np.asarray(metrics["diverged"])), "rollout diverged"
+    # Gates genuinely disagree on some ticks (schedule slip exists)...
+    assert mm.max() > 0.0, "measured and planned gating never disagreed"
+    assert (mm > 0).mean() > 0.01, "disagreement not transiently recurring"
+    # ...but agree most of the time (sanity: the touch signal is not junk).
+    assert mm.mean() < 0.3, f"gates disagree {mm.mean():.0%} of leg-ticks"
+    # KF stays bounded through the slip.
+    assert np.asarray(metrics["est_pos_err"][-200:]).mean() < 0.15
+    assert np.asarray(metrics["est_vel_err"][-200:]).mean() < 0.25

@@ -451,3 +451,34 @@ def test_fullorder_turning_trot():
         & (np.asarray(state.pos[:, 1]) > 0.5)
     )
     _pass_band(ok, B - 1)
+
+
+def test_a1_parity_actuation_substeps():
+    """The reference's exact A1 actuation (Kp=700 swing PD, no torque
+    clamp, ref robot_configs.py:55 / isaacgym_a1.py:162) exceeds the
+    explicit 1 ms integrator's stability margin — and ``substeps=4``
+    restores finite integration (the reference's own simulators are
+    implicit and absorb the stiffness).  Contract pinned here: substepped
+    parity rollouts stay FINITE through whatever the dynamics do; the
+    measured closed-loop envelope of this configuration is documented in
+    docs/a1_parity_experiment.md (it does not sustain the reference's
+    1.4 m/s command — a config value the reference never evidences)."""
+    B = 1
+    mpc = MpcParams(horizon=10)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
+    )
+    robot1, cp = fullorder.a1_isaacgym_parity_config()
+    robot = tile(robot1)
+    gait = tile(Gaits.trotting10())
+    cmd = tile(Command.trot_forward(1.2))
+    (state, _), metrics = fullorder.rollout(
+        robot, mpc, gait, cmd, num_ticks=1600, cp=cp, spec=mjcf.a1_spec(),
+        cmd_ramp_ticks=500, substeps=4,
+    )
+    assert np.all(np.isfinite(np.asarray(state.pos)))
+    assert np.all(np.isfinite(np.asarray(metrics["height"])))
+    # (The substeps=1 NaN blowup that motivates this feature is chaotic in
+    # its onset conditions — measured r4 at 1.2-1.3 m/s with a 1.5 s ramp —
+    # so the positive finite-integration contract is what's pinned here;
+    # the blowup grid lives in docs/a1_parity_experiment.md.)

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Sharding-overhead curve of the sharded sweep step at 1/2/4/8 devices
-(BASELINE config 5's multi-device leg).
+(BASELINE config 5's multi-device leg), with repetition statistics, plus a
+2-process jax.distributed (DCN/Gloo) timing point.
 
 Multi-chip hardware is not available in this environment, and the virtual
 CPU mesh's devices all MULTIPLEX the same physical cores — so weak-scaling
@@ -14,39 +15,48 @@ per shard) throughput would scale linearly.  Companion legs: the real-chip
 ``pod_scale`` row in bench.py and the 2-process jax.distributed DCN test
 (tests/test_multihost.py).
 
+Statistics (r4, after the r3 review): every device count runs ``--reps``
+FRESH PROCESSES (default 5; process placement/jit caches are the dominant
+variance source on the CPU mesh) of ``--iters`` timed iterations each; the
+curve reports the median and IQR of the per-process medians, and the
+efficiency is computed from medians.  The ``dcn`` point times the SAME
+sharded step with the 4 devices split over 2 ``jax.distributed`` processes
+(Gloo collectives standing in for DCN) — its delta over the single-process
+4-device point is the multi-process runtime + cross-process collective
+overhead.
+
 Each device count needs a fresh process (the device count is fixed at
 backend init), so this driver re-execs itself.
 
-Usage: python tools/scaling_curve.py            # full curve -> JSON line
-       python tools/scaling_curve.py --devices 4  # one point (internal)
+Usage: python tools/scaling_curve.py             # full curve -> JSON line
+       python tools/scaling_curve.py --devices 4   # one point (internal)
+       python tools/scaling_curve.py --dcn-worker PID PORT  # (internal)
 """
 import argparse
 import json
 import os
 import subprocess
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GLOBAL_BATCH = 2048
 
 
-def one_point(n_devices: int, iters: int = 5):
-    sys.path.insert(0, REPO)
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
+def _timed_step(mesh, iters, distributed=False):
     import time
 
+    import jax
     import numpy as np
     from bench import build_inputs
     from pympc_quadruped_tpu.parallel import mesh as mesh_lib, sweep
 
-    assert len(jax.devices()) >= n_devices, jax.devices()
-    mesh = mesh_lib.data_mesh(jax.devices()[:n_devices])
     B = GLOBAL_BATCH
     robot, mpc, x_t, yaw, feet, X_ref, tables = build_inputs(B, 10)
-    args = mesh_lib.shard_batch((x_t, yaw, feet, X_ref, tables), mesh)
-    x_t, yaw, feet, X_ref, tables = args
+    shard = mesh_lib.shard_global_batch if distributed else mesh_lib.shard_batch
+    x_t, yaw, feet, X_ref, tables = shard(
+        (x_t, yaw, feet, X_ref, tables), mesh
+    )
 
     def run():
         return sweep.solve_sweep_step(
@@ -59,41 +69,128 @@ def one_point(n_devices: int, iters: int = 5):
         t0 = time.perf_counter()
         jax.block_until_ready(run())
         ts.append(time.perf_counter() - t0)
-    p50 = float(np.percentile(np.array(ts), 50))
-    return {"devices": n_devices, "batch": B, "p50_s": round(p50, 4),
-            "solves_per_s": round(B / p50, 1)}
+    return float(np.percentile(np.array(ts), 50))
+
+
+def one_point(n_devices: int, iters: int = 5):
+    sys.path.insert(0, REPO)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from pympc_quadruped_tpu.parallel import mesh as mesh_lib
+
+    assert len(jax.devices()) >= n_devices, jax.devices()
+    mesh = mesh_lib.data_mesh(jax.devices()[:n_devices])
+    p50 = _timed_step(mesh, iters)
+    return {"devices": n_devices, "batch": GLOBAL_BATCH,
+            "p50_s": round(p50, 4),
+            "solves_per_s": round(GLOBAL_BATCH / p50, 1)}
+
+
+def dcn_worker(pid: int, port: int, iters: int):
+    """One of two jax.distributed processes, 2 virtual devices each."""
+    sys.path.insert(0, REPO)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from pympc_quadruped_tpu.parallel import launch
+
+    launch.init_distributed(
+        coordinator=f"localhost:{port}", num_processes=2, process_id=pid
+    )
+    mesh = launch.global_data_mesh()
+    assert mesh.devices.size == 4
+    p50 = _timed_step(mesh, iters, distributed=True)
+    if pid == 0:
+        print(json.dumps({"devices": 4, "processes": 2,
+                          "batch": GLOBAL_BATCH, "p50_s": round(p50, 4),
+                          "solves_per_s": round(GLOBAL_BATCH / p50, 1)}))
+
+
+def _run_sub(extra_args, n_devices, timeout=1800):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + extra_args,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+    )
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=None)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--dcn-worker", type=int, nargs=2, default=None,
+                    metavar=("PID", "PORT"))
     args = ap.parse_args()
 
+    if args.dcn_worker is not None:
+        dcn_worker(args.dcn_worker[0], args.dcn_worker[1], args.iters)
+        return
     if args.devices is not None:
         os.environ["JAX_PLATFORMS"] = "cpu"
         print(json.dumps(one_point(args.devices, args.iters)))
         return
 
+    import numpy as np
+
     points = []
     for n in (1, 2, 4, 8):
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = (
-            env.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={n}"
-        ).strip()
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--devices", str(n),
-             "--iters", str(args.iters)],
-            capture_output=True, text=True, env=env, timeout=1800,
-        )
-        assert r.returncode == 0, r.stdout + r.stderr
-        points.append(json.loads(r.stdout.strip().splitlines()[-1]))
-    base = points[0]["p50_s"]
+        p50s = []
+        for _ in range(args.reps):
+            proc = _run_sub(["--devices", str(n), "--iters", str(args.iters)], n)
+            out, err = proc.communicate(timeout=1800)
+            assert proc.returncode == 0, out + err
+            p50s.append(json.loads(out.strip().splitlines()[-1])["p50_s"])
+        p50s = np.array(p50s)
+        med = float(np.median(p50s))
+        points.append({
+            "devices": n, "batch": GLOBAL_BATCH, "reps": args.reps,
+            "p50_s_median": round(med, 4),
+            "p50_s_iqr": [round(float(np.percentile(p50s, 25)), 4),
+                          round(float(np.percentile(p50s, 75)), 4)],
+            "p50_s_all": [round(float(t), 4) for t in p50s],
+            "solves_per_s": round(GLOBAL_BATCH / med, 1),
+        })
+        print(f"# {n} devices: median {med:.3f}s "
+              f"IQR {points[-1]['p50_s_iqr']}", file=sys.stderr)
+
+    base = points[0]["p50_s_median"]
     for p in points:
-        p["sharding_efficiency"] = round(base / p["p50_s"], 3)
-    print(json.dumps({"global_batch": GLOBAL_BATCH, "points": points}))
+        p["sharding_efficiency"] = round(base / p["p50_s_median"], 3)
+
+    # DCN point: 2 jax.distributed processes x 2 devices (reps medianed).
+    import socket
+
+    dcn_p50s = []
+    for _ in range(max(2, args.reps - 2)):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        w0 = _run_sub(["--dcn-worker", "0", str(port), "--iters",
+                       str(args.iters)], 2)
+        w1 = _run_sub(["--dcn-worker", "1", str(port), "--iters",
+                       str(args.iters)], 2)
+        out0, err0 = w0.communicate(timeout=1800)
+        w1.communicate(timeout=60)
+        assert w0.returncode == 0, out0 + err0
+        dcn_p50s.append(json.loads(out0.strip().splitlines()[-1])["p50_s"])
+    med4 = next(p for p in points if p["devices"] == 4)["p50_s_median"]
+    dmed = float(np.median(np.array(dcn_p50s)))
+    dcn = {
+        "devices": 4, "processes": 2, "batch": GLOBAL_BATCH,
+        "p50_s_median": round(dmed, 4),
+        "p50_s_all": [round(t, 4) for t in dcn_p50s],
+        "solves_per_s": round(GLOBAL_BATCH / dmed, 1),
+        "overhead_vs_single_process_4dev": round(dmed / med4 - 1.0, 3),
+    }
+    print(json.dumps({"global_batch": GLOBAL_BATCH, "reps": args.reps,
+                      "points": points, "dcn": dcn}))
 
 
 if __name__ == "__main__":
