@@ -229,10 +229,18 @@ def _invert_kernel(K_ref, Kinv_ref, *, newton_schulz_iters: int):
 @functools.partial(jax.jit, static_argnames=("tile", "ns_iters"))
 def invert_spd(K, tile: int = 16, ns_iters: int = 1):
     """Batched in-VMEM SPD inversion of already-padded (B, n, n) operands
-    (n a power-of-two multiple of the 16-leaf; B divisible by a legal tile).
+    (n a power-of-two multiple of the 16-leaf; B divisible by the tile).
+
+    Unlike the iterate kernels this one has no 2-D vector blocks, so the
+    tile (the leading dim of a 3-D block) needs no multiple-of-8 sublane
+    alignment — any divisor of B works, which the big h=16 size needs
+    (np_=256: the recursion's scoped VMEM exceeds the 16 MB budget at
+    tile 8; tile 4 fits).
     """
     B, n, _ = K.shape
-    tile = _pick_tile(B, tile)
+    divisors = [t for t in range(1, B + 1) if B % t == 0]
+    below = [t for t in divisors if t <= tile]
+    tile = max(below) if below else min(divisors)
     kern = functools.partial(_invert_kernel, newton_schulz_iters=ns_iters)
     return pl.pallas_call(
         kern,
@@ -246,7 +254,7 @@ def invert_spd(K, tile: int = 16, ns_iters: int = 1):
 
 
 def invert_iterate(ops, P0: jnp.ndarray, cfg, init=None,
-                   invert_tile: int = 16):
+                   invert_tile: int | None = None):
     """Split two-kernel solve: in-VMEM Schur inversion (small tile — the
     recursion's working set is ~5x the operand) feeding the iteration
     kernel (tile 64 — iteration state is just Kinv + vectors) through a
@@ -282,6 +290,11 @@ def invert_iterate(ops, P0: jnp.ndarray, cfg, init=None,
     # block — decoupled, see _iterate_fused's padding notes) and batch-pad
     # inert scenarios for Mosaic-legal tiles.
     np_ = _pow2_pad(n)
+    if invert_tile is None:
+        # VMEM scaling rule: the recursion holds ~5x the (tile, np_, np_)
+        # operand — 16 at the h=10 size (np_=128), 4 at h=16 (np_=256;
+        # tile 8 measured 19 MB > the 16 MB scoped budget there).
+        invert_tile = max(2, (16 * 128 * 128) // (np_ * np_))
     pad = np_ - n
     Bp = _pad_batch_to(B, 64)
     bpad = Bp - B
@@ -309,9 +322,12 @@ def invert_iterate(ops, P0: jnp.ndarray, cfg, init=None,
         P0 = jnp.pad(P0, ((0, 0), (0, pad)))
 
     Kinv = invert_spd(K, tile=invert_tile, ns_iters=cfg.newton_schulz_iters)
+    # The iterate tile scales down with the padded size too (its VMEM
+    # residency is Kinv + vectors): 64 at np_=128, 16 at np_=256.
+    it_tile = max(8, (cfg.tile * 128 * 128) // (np_ * np_))
     x, y = _iterate(
         Kinv, q, d, es, rho, l, u, P0, x0, z0, y0,
-        cfg.iterations, cfg.sigma, cfg.alpha, cfg.tile,
+        cfg.iterations, cfg.sigma, cfg.alpha, it_tile,
     )
     return x[:B, :n], y[:B]
 

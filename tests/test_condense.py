@@ -98,3 +98,30 @@ def test_condense_batched():
         H_i, g_i = condense.condense(Ads[i], Bds[i], xts[i], Xrefs[i], mpc)
         np.testing.assert_allclose(np.asarray(H_b[i]), np.asarray(H_i), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(g_b[i]), np.asarray(g_i), rtol=1e-5, atol=1e-5)
+
+
+def test_toeplitz_condensing_matches_gram():
+    """qp_cost_toeplitz == the Gram condensing to f32 rounding, with
+    bitwise-symmetric H.  (A measured NEGATIVE result for the default
+    path: 24x fewer FLOPs and faster standalone on TPU, but its assembly
+    transpose re-triggers the XLA->custom-call relayout war when composed
+    with the solver — docs/performance.md r4.  Kept as a tested
+    alternative form of the algebra.)"""
+    import numpy as np
+    from bench import build_inputs
+    from pympc_quadruped_tpu.ops import condense, srb
+
+    robot, mpc, x_t, yaw, feet, X_ref, tables = build_inputs(4, 10, seed=2)
+
+    def both(xi, yi, fi, Xi):
+        Ac, Bc = srb.state_space(robot, yi, fi)
+        Ad, Bd = srb.discretize(Ac, Bc, mpc.dt_predict)
+        H1, g1 = condense.condense(Ad, Bd, xi, Xi, mpc)
+        H2, g2 = condense.qp_cost_toeplitz(Ad, Bd, xi, Xi, mpc)
+        return H1, g1, H2, g2
+
+    H1, g1, H2, g2 = jax.jit(jax.vmap(both))(x_t, yaw, feet, X_ref)
+    H1, g1, H2, g2 = map(lambda a: np.asarray(a, np.float64), (H1, g1, H2, g2))
+    assert np.abs(H1 - H2).max() / np.abs(H1).max() < 1e-6
+    assert np.abs(g1 - g2).max() / (np.abs(g1).max() + 1.0) < 1e-6
+    assert np.abs(H2 - H2.transpose(0, 2, 1)).max() == 0.0
