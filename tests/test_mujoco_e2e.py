@@ -126,3 +126,17 @@ def test_generated_model_matches_reference_fk():
     m_gen = mujoco.MjModel.from_xml_string(mjcf.model_xml("aliengo"))
     m_ref = mujoco.MjModel.from_xml_path(ref)
     np.testing.assert_allclose(feet(m_gen), feet(m_ref), atol=1e-6)
+
+
+def test_jumping16_e2e_jax():
+    """JUMPING16 survives in MuJoCo under the f32 JAX engine's flight-aware
+    reference (r4) — the reference defines this gait and its app can select
+    it (ref mujoco_aliengo.py:176, gait.py:19) but its constant-height MPC
+    reference cannot fly it (falls in every simulator).  Artifact:
+    docs/jumping16_mujoco.gif."""
+    res = run(controller="jax", gait="jumping16", horizon=16, vx=0.3,
+              seconds=2.5, verbose=False)
+    assert res["completed"], res
+    # Hopping rides below the standing height but well above a collapse.
+    assert 0.22 < res["mean_height_last_2s"] < 0.40, res
+    assert res["final_x"] > 0.3, res
