@@ -122,21 +122,26 @@ def main():
             return c
         return run
 
-    # --- iterate only (Pallas on TPU) ---
-    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    # --- invert+iterate from carried K (the shipping split path on TPU) ---
+    backend = "split" if jax.default_backend() == "tpu" else "jnp"
+    opsK = jax.jit(lambda H, g: admm_fast.setup(
+        H, g, tables, robot.fz_max, mpc, cfg, invert=False))(H0, g0)
+    K0 = opsK.K
 
     def iterate_only(k):
         @jax.jit
         def run():
             def body(c, _):
-                ops = ops0._replace(q=c)
-                if backend == "pallas":
+                if backend == "split":
                     from pympc_quadruped_tpu.ops.qp import admm_pallas
-                    x, y = admm_pallas.iterate(ops, P0, cfg)
+                    x, y = admm_pallas.invert_iterate(
+                        opsK._replace(K=c), P0, cfg)
+                    c2 = c + 1e-12 * x[:, :, None] * x[:, None, :]
                 else:
-                    x, y = admm_fast.iterate_jnp(ops, P0, cfg)
-                return c + 1e-9 * x, None
-            c, _ = jax.lax.scan(body, ops0.q, None, length=k)
+                    x, y = admm_fast.iterate_jnp(ops0._replace(q=c[:, 0, :]), P0, cfg)
+                    c2 = c.at[:, 0, :].add(1e-9 * x)
+                return c2, None
+            c, _ = jax.lax.scan(body, K0, None, length=k)
             return c
         return run
 
@@ -179,7 +184,7 @@ def main():
         ("full", full),
         ("build_qp", build_only),
         ("setup", setup_only),
-        ("iterate_" + backend, iterate_only),
+        ("invert_iterate_" + backend, iterate_only),
         ("build+setup", build_setup),
         ("ruiz", ruiz_only),
         ("spd_inverse", spdinv_only),
