@@ -221,7 +221,7 @@ def bench_warm_marginal(batch, horizon, iters=8, K=6):
 
     Chained scan where each solve warm-starts from the previous solution's
     primal/dual at the in-loop iteration count
-    (``AdmmFastConfig.inloop()``, 40 vs 80 cold — see the preset's
+    (``AdmmFastConfig.inloop()``, 40 warm vs 56 cold — see the preset's
     docstring for the SRB/full-order quality study).  Reported as a
     separate row; the cold 80-iteration number stays the headline.
     """

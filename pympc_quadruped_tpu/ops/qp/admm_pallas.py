@@ -253,6 +253,46 @@ def invert_spd(K, tile: int = 16, ns_iters: int = 1):
     )(K)
 
 
+def _pad_problem(mat, n: int, tile_want: int, vec_fills: dict, P0=None):
+    """The one padding scheme every kernel wrapper shares: append INERT
+    scenarios up to a Mosaic-legal batch (identity ``mat``; per-vector fill
+    values chosen so the scenario is fully decoupled — gating vectors 0,
+    scalings/penalties 1) and pad the primal dimension to the recursion's
+    power-of-two size (identity block on ``mat`` — exactly decoupled
+    through the Schur recursion; zeros on primal-width vectors and P0
+    columns, ones on scalings).
+
+    ``vec_fills``: name -> (array, batch_fill, primal_fill); primal_fill
+    None marks an m-width vector (no primal pad).  Returns
+    (mat, {name: padded}, P0, np_, Bp).
+    """
+    B = mat.shape[0]
+    np_ = _pow2_pad(n)
+    Bp = _pad_batch_to(B, tile_want)
+    bpad, pad = Bp - B, np_ - n
+    if bpad:
+        mat = jnp.concatenate(
+            [mat, jnp.broadcast_to(jnp.eye(n, dtype=mat.dtype), (bpad, n, n))],
+            axis=0,
+        )
+    out = {}
+    for name, (a, bfill, pfill) in vec_fills.items():
+        if bpad:
+            a = jnp.concatenate(
+                [a, jnp.full((bpad,) + a.shape[1:], bfill, a.dtype)], axis=0
+            )
+        if pad and pfill is not None:
+            a = jnp.pad(a, ((0, 0), (0, pad)), constant_values=pfill)
+        out[name] = a
+    if pad:
+        ii = jnp.arange(np_)
+        diag_ext = jnp.where(ii >= n, 1.0, 0.0).astype(mat.dtype)
+        mat = jnp.pad(mat, ((0, 0), (0, pad), (0, pad))) + jnp.diag(diag_ext)[None]
+        if P0 is not None:
+            P0 = jnp.pad(P0, ((0, 0), (0, pad)))
+    return mat, out, P0, np_, Bp
+
+
 def invert_iterate(ops, P0: jnp.ndarray, cfg, init=None,
                    invert_tile: int | None = None):
     """Split two-kernel solve: in-VMEM Schur inversion (small tile — the
@@ -286,47 +326,25 @@ def invert_iterate(ops, P0: jnp.ndarray, cfg, init=None,
         )
     x0, z0, y0 = init
 
-    # Pad the primal dimension for the inversion recursion (identity pad
-    # block — decoupled, see _iterate_fused's padding notes) and batch-pad
-    # inert scenarios for Mosaic-legal tiles.
-    np_ = _pow2_pad(n)
+    K, v, P0, np_, _Bp = _pad_problem(ops.K, n, 64, {
+        "q": (ops.q, 0.0, 0.0), "d": (ops.d, 1.0, 1.0),
+        "es": (ops.es, 0.0, None), "rho": (ops.rho, 1.0, None),
+        "l": (ops.l, 0.0, None), "u": (ops.u, 1.0, None),
+        "x0": (x0, 0.0, 0.0), "z0": (z0, 0.0, None), "y0": (y0, 0.0, None),
+    }, P0)
     if invert_tile is None:
         # VMEM scaling rule: the recursion holds ~5x the (tile, np_, np_)
         # operand — 16 at the h=10 size (np_=128), 4 at h=16 (np_=256;
         # tile 8 measured 19 MB > the 16 MB scoped budget there).
         invert_tile = max(2, (16 * 128 * 128) // (np_ * np_))
-    pad = np_ - n
-    Bp = _pad_batch_to(B, 64)
-    bpad = Bp - B
-
-    K = ops.K
-    q, d, es, rho, l, u = ops.q, ops.d, ops.es, ops.rho, ops.l, ops.u
-    if bpad:
-        eyeK = jnp.broadcast_to(
-            jnp.eye(n, dtype=K.dtype), (bpad, n, n)
-        )
-        K = jnp.concatenate([K, eyeK], axis=0)
-        zb = lambda a: jnp.pad(a, ((0, bpad),) + ((0, 0),) * (a.ndim - 1))
-        q, d, es, l, u, x0, z0, y0 = map(zb, (q, d, es, l, u, x0, z0, y0))
-        d = d.at[B:].set(1.0)
-        rho = jnp.concatenate(
-            [rho, jnp.ones((bpad, m), rho.dtype)], axis=0
-        )
-    if pad:
-        ii = jnp.arange(np_)
-        diag_ext = jnp.where(ii >= n, 1.0, 0.0).astype(K.dtype)
-        K = jnp.pad(K, ((0, 0), (0, pad), (0, pad))) + jnp.diag(diag_ext)[None]
-        zpad = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
-        q, x0 = zpad(q), zpad(x0)
-        d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=1.0)
-        P0 = jnp.pad(P0, ((0, 0), (0, pad)))
 
     Kinv = invert_spd(K, tile=invert_tile, ns_iters=cfg.newton_schulz_iters)
     # The iterate tile scales down with the padded size too (its VMEM
     # residency is Kinv + vectors): 64 at np_=128, 16 at np_=256.
     it_tile = max(8, (cfg.tile * 128 * 128) // (np_ * np_))
     x, y = _iterate(
-        Kinv, q, d, es, rho, l, u, P0, x0, z0, y0,
+        Kinv, v["q"], v["d"], v["es"], v["rho"], v["l"], v["u"], P0,
+        v["x0"], v["z0"], v["y0"],
         cfg.iterations, cfg.sigma, cfg.alpha, it_tile,
     )
     return x[:B, :n], y[:B]
@@ -507,32 +525,16 @@ def _solve_full(H, g, srow, l, u, U0, lam0, P0,
                 rho_ineq, rho_eq):
     B, n = g.shape
     m = srow.shape[-1]
-    # Inert-scenario batch padding (same scheme as _iterate_fused): identity
-    # H, zero gates and vectors, unit upper bounds.
-    Bp = _pad_batch_to(B, tile)
-    bpad = Bp - B
-    if bpad:
-        eyeH = jnp.broadcast_to(
-            jnp.eye(n, dtype=H.dtype), (bpad,) + H.shape[1:]
-        )
-        H = jnp.concatenate([H, eyeH], axis=0)
-        zb = lambda a: jnp.pad(a, ((0, bpad),) + ((0, 0),) * (a.ndim - 1))
-        g, srow, l, U0, lam0 = map(zb, (g, srow, l, U0, lam0))
-        u = jnp.concatenate([u, jnp.ones((bpad, m), u.dtype)], axis=0)
+    # Shared inert-scenario + primal-dim padding (identity H: its Ruiz
+    # delta is exactly 1 and the block is decoupled through the recursion).
+    H, v, P0, np_, Bp = _pad_problem(H, n, tile, {
+        "g": (g, 0.0, 0.0), "srow": (srow, 0.0, None),
+        "l": (l, 0.0, None), "u": (u, 1.0, None),
+        "U0": (U0, 0.0, 0.0), "lam0": (lam0, 0.0, None),
+    }, P0)
+    g, srow, l, u = v["g"], v["srow"], v["l"], v["u"]
+    U0, lam0 = v["U0"], v["lam0"]
     tile = _pick_tile(Bp, tile)
-
-    # Pad the primal dimension 12h -> recursion-friendly power of two.
-    # H gains an identity block (decoupled through the recursion; its Ruiz
-    # delta is exactly 1), vectors and P0 columns gain zeros.
-    np_ = _pow2_pad(n)
-    pad = np_ - n
-    if pad:
-        ii = jnp.arange(np_)
-        diag_ext = jnp.where(ii >= n, 1.0, 0.0).astype(H.dtype)
-        H = jnp.pad(H, ((0, 0), (0, pad), (0, pad))) + jnp.diag(diag_ext)[None]
-        zpad = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
-        g, U0 = zpad(g), zpad(U0)
-        P0 = jnp.pad(P0, ((0, 0), (0, pad)))
 
     # Row-norm selector matrices: |P0|^T split into the x/y-coefficient part
     # and the mu*z part; each cone row has at most one nonzero in each, so
@@ -644,38 +646,19 @@ def _iterate_fused(K, q, d, es, rho, l, u, P0, x0, z0, y0,
                    iterations, sigma, alpha, tile, ns_iters):
     B, n = q.shape
     m = es.shape[-1]
-    # Batch padding for Mosaic-illegal batch sizes (large B with no
-    # multiple-of-8 divisor, e.g. 4098): append identity-K scenarios whose
-    # gated rows (es = 0) and zeroed vectors make them inert, then slice
-    # the outputs back.
-    Bp = _pad_batch_to(B, tile)
-    bpad = Bp - B
-    if bpad:
-        eyeK = jnp.broadcast_to(
-            jnp.eye(K.shape[-1], dtype=K.dtype), (bpad,) + K.shape[1:]
-        )
-        K = jnp.concatenate([K, eyeK], axis=0)
-        zb = lambda a: jnp.pad(a, ((0, bpad),) + ((0, 0),) * (a.ndim - 1))
-        q, d, es, l, u, x0, z0, y0 = map(zb, (q, d, es, l, u, x0, z0, y0))
-        rho = jnp.concatenate(
-            [rho, jnp.ones((bpad, rho.shape[-1]), rho.dtype)], axis=0
-        )
+    # Shared inert-scenario + identity primal-dim padding (the padded K
+    # block is exactly decoupled through the recursion: off-diagonal blocks
+    # are zero, so W = A^-1 B = 0 at every level; zero q/x0 and zero P0
+    # columns keep the padded lanes of x inert through every iteration).
+    K, v, P0, np_, Bp = _pad_problem(K, n, tile, {
+        "q": (q, 0.0, 0.0), "d": (d, 1.0, 1.0),
+        "es": (es, 0.0, None), "rho": (rho, 1.0, None),
+        "l": (l, 0.0, None), "u": (u, 1.0, None),
+        "x0": (x0, 0.0, 0.0), "z0": (z0, 0.0, None), "y0": (y0, 0.0, None),
+    }, P0)
+    q, d, es, rho, l, u = v["q"], v["d"], v["es"], v["rho"], v["l"], v["u"]
+    x0, z0, y0 = v["x0"], v["z0"], v["y0"]
     tile = _pick_tile(Bp, tile)
-
-    # Pad the primal dimension to a recursion-friendly power-of-two size.
-    # K gains an identity block (its inverse is exact and decoupled:
-    # off-diagonal blocks are exactly zero, so W = A^-1 B = 0 through the
-    # recursion); q/d/x0/P0-columns gain zeros, which keeps the padded
-    # lanes of x identically zero through every iteration.
-    np_ = _pow2_pad(n)
-    pad = np_ - n
-    if pad:
-        ii = jnp.arange(np_)
-        diag_ext = jnp.where(ii >= n, 1.0, 0.0).astype(K.dtype)
-        K = jnp.pad(K, ((0, 0), (0, pad), (0, pad))) + jnp.diag(diag_ext)[None]
-        zpad = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
-        q, d, x0 = zpad(q), zpad(d), zpad(x0)
-        P0 = jnp.pad(P0, ((0, 0), (0, pad)))
 
     kern = functools.partial(
         _fused_kernel, iterations=iterations, sigma=float(sigma),

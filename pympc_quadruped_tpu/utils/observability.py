@@ -84,8 +84,6 @@ def kkt_residuals_f64(
     ``U`` must be swing-masked (``* mv``) and ``lam`` as returned by
     ``solve_batch(..., return_duals=True)``.
     """
-    import jax.numpy as jnp  # local: only for the tiny pattern constants
-
     h = mpc.horizon
     H = np.asarray(H, np.float64)
     g = np.asarray(g, np.float64)
@@ -100,9 +98,10 @@ def kkt_residuals_f64(
     u = np.asarray(u_j, np.float64)
 
     z = U @ P0.T                                             # (B,m)
-    stat = np.einsum("bij,bj->bi", H, U) + g + lam @ P0      # (B,n)
+    HU = np.einsum("bij,bj->bi", H, U)                       # (B,n), the dominant product
+    stat = HU + g + lam @ P0                                 # (B,n)
     gscale = 1.0 + np.maximum(
-        np.max(np.abs(g), axis=-1), np.max(np.abs(np.einsum("bij,bj->bi", H, U)), axis=-1)
+        np.max(np.abs(g), axis=-1), np.max(np.abs(HU), axis=-1)
     )
     stat_rel = np.max(np.abs(stat), axis=-1) / gscale
 

@@ -122,28 +122,39 @@ def main():
             return c
         return run
 
-    # --- invert+iterate from carried K (the shipping split path on TPU) ---
-    backend = "split" if jax.default_backend() == "tpu" else "jnp"
-    opsK = jax.jit(lambda H, g: admm_fast.setup(
-        H, g, tables, robot.fz_max, mpc, cfg, invert=False))(H0, g0)
-    K0 = opsK.K
+    # --- solver stage from a carried operand: on TPU the shipping split
+    # path (inversion kernel + iteration kernel, carried K); on CPU the
+    # iterate-only jnp loop from a pre-inverted Kinv (labeled accordingly
+    # — the CPU row is NOT comparable to the TPU invert+iterate row).
+    on_tpu = jax.default_backend() == "tpu"
+    solver_stage = "invert_iterate_split" if on_tpu else "iterate_only_jnp"
+    if on_tpu:
+        opsK = jax.jit(lambda H, g: admm_fast.setup(
+            H, g, tables, robot.fz_max, mpc, cfg, invert=False))(H0, g0)
+        K0 = opsK.K
 
-    def iterate_only(k):
-        @jax.jit
-        def run():
-            def body(c, _):
-                if backend == "split":
+        def iterate_only(k):
+            @jax.jit
+            def run():
+                def body(c, _):
                     from pympc_quadruped_tpu.ops.qp import admm_pallas
                     x, y = admm_pallas.invert_iterate(
                         opsK._replace(K=c), P0, cfg)
                     c2 = c + 1e-12 * x[:, :, None] * x[:, None, :]
-                else:
-                    x, y = admm_fast.iterate_jnp(ops0._replace(q=c[:, 0, :]), P0, cfg)
-                    c2 = c.at[:, 0, :].add(1e-9 * x)
-                return c2, None
-            c, _ = jax.lax.scan(body, K0, None, length=k)
-            return c
-        return run
+                    return c2, None
+                c, _ = jax.lax.scan(body, K0, None, length=k)
+                return c
+            return run
+    else:
+        def iterate_only(k):
+            @jax.jit
+            def run():
+                def body(c, _):
+                    x, y = admm_fast.iterate_jnp(ops0._replace(q=c), P0, cfg)
+                    return c + 1e-9 * x, None
+                c, _ = jax.lax.scan(body, ops0.q, None, length=k)
+                return c
+            return run
 
     # --- build + setup ---
     def build_setup(k):
@@ -184,7 +195,7 @@ def main():
         ("full", full),
         ("build_qp", build_only),
         ("setup", setup_only),
-        ("invert_iterate_" + backend, iterate_only),
+        (solver_stage, iterate_only),
         ("build+setup", build_setup),
         ("ruiz", ruiz_only),
         ("spd_inverse", spdinv_only),
