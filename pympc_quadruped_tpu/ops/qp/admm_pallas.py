@@ -178,6 +178,16 @@ def _gj_inv_t(M):
     return R
 
 
+# Gauss-Jordan leaf size of the in-kernel Schur recursion.  Probed on-chip
+# in FRESH processes per setting (r4, batch 4096 carried-K invert_spd
+# marginals: leaf 8 = 16.0 ms, 16 = 13.3, 32 = 13.3) — 16 and 32 tie, 8
+# loses to recursion overhead; 16 keeps the base case smallest.  NOTE for
+# probing: this is read at TRACE time and jit caches don't key on it, so
+# in-process A/B probes silently reuse the first compilation — change it
+# only in a fresh process.
+_GJ_LEAF = 16
+
+
 def _schur_inv_t(M):
     """(T,n,n) SPD inverse via the 2x2 block Schur recursion — the same
     algorithm as :func:`admm_fast.spd_inverse` (same symmetrization for the
@@ -192,7 +202,7 @@ def _schur_inv_t(M):
 
     def rec(X):
         n = X.shape[-1]
-        if n <= 16:
+        if n <= _GJ_LEAF:
             return _gj_inv_t(X)
         m = n // 2
         A = X[:, :m, :m]
