@@ -168,12 +168,12 @@ def reference_trajectory(
 # one.  The reference's dt quirk (prediction dt 0.05 vs real segment time
 # 0.02, ref mpc.py:38) makes the REAL flight 2.5x shorter than the planned
 # one, so the QP must be asked for a hotter arc than its own model implies
-# to achieve liftoff in real time.  Measured (r4 SRB sweep, jumping16 at
-# 0.4 m/s, scale 0.25..2.0): survival and trough height increase
-# monotonically with scale — 1.0 hops at trough 0.08 m (marginal), 2.0 at
-# trough 0.28 m / apex 0.50 m with upright 0.998; real-time-dt arcs (the
-# "principled" 0.02 s version) DIVERGE because they contradict the QP's
-# internal dt_predict dynamics.
+# to achieve liftoff in real time.  Measured (r4 SRB sweeps, jumping16 at
+# 0.4 m/s, scale 0.25..2.0, with the circular-window decomposition):
+# survival and trough height increase monotonically with scale — 1.0 hops
+# at trough 0.11 m (marginal), 2.0 at trough 0.32 m / apex 0.53 m with
+# upright 0.998; real-time-dt arcs (the "principled" 0.02 s version)
+# DIVERGE because they contradict the QP's internal dt_predict dynamics.
 FLIGHT_APEX_SCALE = 2.0
 
 
@@ -206,8 +206,32 @@ def _flight_rows(gait_table: jnp.ndarray, z_des, mpc: MpcParams):
     tail = [jnp.int32(0)] * h
     for k in range(h - 2, -1, -1):
         tail[k] = jnp.where(contact[k] == contact[k + 1], tail[k + 1] + 1, 0)
-    j = jnp.stack(pos).astype(jnp.float32)                    # (h,)
-    L = (jnp.stack(pos) + jnp.stack(tail) + 1).astype(jnp.float32)
+    pos = jnp.stack(pos)
+    L = pos + jnp.stack(tail) + 1
+
+    # CIRCULAR join: the table is a rotated view of the gait cycle (slot i
+    # = segment (i + iteration) mod num_segments), so on mid-window solve
+    # ticks the window straddles the view boundary and the linear
+    # decomposition splits it — understating L (and vz_takeoff with it) and
+    # restarting the phase j at the table edge (r4 review finding).  When
+    # the first and last slots share a state, they are the SAME window:
+    # first-run positions continue from the tail run, and both runs get the
+    # joined length.  Exact when the horizon equals the gait period (the
+    # reference's own jumping16/h=16 configuration); for h < period the
+    # edge truncation of the linear form remains at the far horizon edge
+    # only.  All-same-state tables are gated off by has_flight below.
+    first_len = L[0]
+    last_len = L[h - 1]
+    wrap = contact[0] == contact[h - 1]
+    idx = jnp.arange(h)
+    in_first = idx < first_len
+    in_last = idx >= h - last_len
+    pos = jnp.where(wrap & in_first, pos + last_len, pos)
+    L = jnp.where(
+        wrap & (in_first | in_last), jnp.minimum(first_len + last_len, h), L
+    )
+    j = pos.astype(jnp.float32)                               # (h,)
+    L = L.astype(jnp.float32)
 
     has_flight = jnp.any(~contact)
     flight = ~contact

@@ -53,6 +53,12 @@ ROWS_PER_BLOCK = 5  # fx+-mu fz >= 0 (2), fy+-mu fz >= 0 (2), 0 <= fz <= fzmax
 
 
 class AdmmFastConfig(NamedTuple):
+    # The DEFAULTS are the COLD-START tuning.  For warm-started receding
+    # loops use .inloop() rather than hand-building cls(iterations=N): the
+    # cold rho (5e-4) is measurably hostile to warm loops at low iteration
+    # counts (dual adaptation too slow when the active set shifts between
+    # solves — see inloop()'s docstring for the closed-loop grid).
+    #
     # Retuned r4 on the 8-phase trot oracle family + random h=10/h=16
     # instances: rho = 5e-4 converges ~2x faster than the r2 value 1e-3 at
     # every iteration budget (measured grid, rho 2.5e-4..4e-3 x 40..80

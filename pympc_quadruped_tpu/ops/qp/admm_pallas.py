@@ -48,33 +48,10 @@ def _kernel(Kinv_ref, q_ref, d_ref, es_ref, rho_ref, l_ref, u_ref,
     P0T = P0T_ref[:]              # (n,m)  = P0^T
     P0 = P0_ref[:]                # (m,n)
 
-    T, n = q.shape
-    m = es.shape[-1]
-    inv_rho = 1.0 / rho
-
-    def body(_, carry):
-        x, z, y = carry
-        v = es * (rho * z - y)                                   # (T,m)
-        rhs = sigma * x - q + d * jnp.dot(
-            v, P0, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                        # (T,n)
-        xt = jax.lax.dot_general(                                # (T,n)
-            Kinv, rhs,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        zt = es * jnp.dot(d * xt, P0T, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-        x_new = alpha * xt + (1.0 - alpha) * x
-        zbar = alpha * zt + (1.0 - alpha) * z
-        z_new = jnp.clip(zbar + y * inv_rho, lo, hi)
-        y_new = y + rho * (zbar - z_new)
-        return x_new, z_new, y_new
-
-    x, _, y = jax.lax.fori_loop(
-        0, iterations, body, (x0_ref[:], z0_ref[:], y0_ref[:])
+    x, y = _admm_iterations(
+        Kinv, q, d, es, rho, lo, hi, P0T, P0,
+        x0_ref[:], z0_ref[:], y0_ref[:],
+        iterations=iterations, sigma=sigma, alpha=alpha,
     )
     x_ref[:] = x
     y_ref[:] = y
@@ -154,6 +131,47 @@ def _bmm(a, b, prec=_PREC_HI):
 _PREC_REC = _PREC_HI
 
 
+def _admm_iterations(Kinv, q, d, es, rho, lo, hi, P0T, P0, x, z, y, *,
+                     iterations: int, sigma: float, alpha: float):
+    """THE ADMM iteration loop, shared verbatim by every kernel (the same
+    math as :func:`admm_fast.iterate_jnp`); traced inline into each
+    pallas_call.  Returns the final (x, y)."""
+    inv_rho = 1.0 / rho
+
+    def body(_, carry):
+        x, z, y = carry
+        v = es * (rho * z - y)
+        rhs = sigma * x - q + d * jnp.dot(
+            v, P0, preferred_element_type=jnp.float32, precision=_PREC_HI
+        )
+        xt = jax.lax.dot_general(
+            Kinv, rhs, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=_PREC_HI,
+        )
+        zt = es * jnp.dot(d * xt, P0T, preferred_element_type=jnp.float32,
+                          precision=_PREC_HI)
+        x_new = alpha * xt + (1.0 - alpha) * x
+        zbar = alpha * zt + (1.0 - alpha) * z
+        z_new = jnp.clip(zbar + y * inv_rho, lo, hi)
+        y_new = y + rho * (zbar - z_new)
+        return x_new, z_new, y_new
+
+    x, _, y = jax.lax.fori_loop(0, iterations, body, (x, z, y))
+    return x, y
+
+
+def _invert_in_vmem(K, newton_schulz_iters: int):
+    """Schur recursion + Newton-Schulz refinement on a VMEM-resident tile —
+    the one in-kernel inversion, shared by every kernel that inverts."""
+    n = K.shape[-1]
+    Kinv = _schur_inv_t(K)
+    eye2 = 2.0 * jnp.eye(n, dtype=K.dtype)
+    for _ in range(newton_schulz_iters):
+        Kinv = _bmm(Kinv, eye2[None] - _bmm(K, Kinv))
+        Kinv = 0.5 * (Kinv + jnp.swapaxes(Kinv, -1, -2))
+    return Kinv
+
+
 def _gj_inv_t(M):
     """(T,k,k) Gauss-Jordan inverse, k <= 16, unrolled (VPU elementwise).
 
@@ -226,14 +244,7 @@ def _invert_kernel(K_ref, Kinv_ref, *, newton_schulz_iters: int):
     the fused kernel).  Split-pipeline experiments: a Pallas-produced Kinv
     feeds the Pallas iterate kernel in DEFAULT layout, so the r3 XLA->
     custom-call relayout war does not apply to a kernel->kernel handoff."""
-    K = K_ref[:]
-    n = K.shape[-1]
-    Kinv = _schur_inv_t(K)
-    eye2 = 2.0 * jnp.eye(n, dtype=K.dtype)
-    for _ in range(newton_schulz_iters):
-        Kinv = _bmm(Kinv, eye2[None] - _bmm(K, Kinv))
-        Kinv = 0.5 * (Kinv + jnp.swapaxes(Kinv, -1, -2))
-    Kinv_ref[:] = Kinv
+    Kinv_ref[:] = _invert_in_vmem(K_ref[:], newton_schulz_iters)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "ns_iters"))
@@ -336,7 +347,7 @@ def invert_iterate(ops, P0: jnp.ndarray, cfg, init=None,
         )
     x0, z0, y0 = init
 
-    K, v, P0, np_, _Bp = _pad_problem(ops.K, n, 64, {
+    K, v, P0, np_, _Bp = _pad_problem(ops.K, n, cfg.tile, {
         "q": (ops.q, 0.0, 0.0), "d": (ops.d, 1.0, 1.0),
         "es": (ops.es, 0.0, None), "rho": (ops.rho, 1.0, None),
         "l": (ops.l, 0.0, None), "u": (ops.u, 1.0, None),
@@ -374,37 +385,12 @@ def _fused_kernel(K_ref, q_ref, d_ref, es_ref, rho_ref, l_ref, u_ref,
     P0T = P0T_ref[:]
     P0 = P0_ref[:]
 
-    T, n = q.shape
-    inv_rho = 1.0 / rho
-
-    # ---- invert K in VMEM ----
-    Kinv = _schur_inv_t(K)
-    eye2 = 2.0 * jnp.eye(n, dtype=K.dtype)
-    for _ in range(newton_schulz_iters):
-        Kinv = _bmm(Kinv, eye2[None] - _bmm(K, Kinv))
-        Kinv = 0.5 * (Kinv + jnp.swapaxes(Kinv, -1, -2))
-
-    # ---- ADMM iterations (identical math to _kernel) ----
-    def body(_, carry):
-        x, z, y = carry
-        v = es * (rho * z - y)
-        rhs = sigma * x - q + d * jnp.dot(
-            v, P0, preferred_element_type=jnp.float32, precision=_PREC_HI
-        )
-        xt = jax.lax.dot_general(
-            Kinv, rhs, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=_PREC_HI,
-        )
-        zt = es * jnp.dot(d * xt, P0T, preferred_element_type=jnp.float32,
-                          precision=_PREC_HI)
-        x_new = alpha * xt + (1.0 - alpha) * x
-        zbar = alpha * zt + (1.0 - alpha) * z
-        z_new = jnp.clip(zbar + y * inv_rho, lo, hi)
-        y_new = y + rho * (zbar - z_new)
-        return x_new, z_new, y_new
-
-    x, _, y = jax.lax.fori_loop(
-        0, iterations, body, (x0_ref[:], z0_ref[:], y0_ref[:])
+    # ---- invert K in VMEM, then the shared ADMM loop ----
+    Kinv = _invert_in_vmem(K, newton_schulz_iters)
+    x, y = _admm_iterations(
+        Kinv, q, d, es, rho, lo, hi, P0T, P0,
+        x0_ref[:], z0_ref[:], y0_ref[:],
+        iterations=iterations, sigma=sigma, alpha=alpha,
     )
     x_ref[:] = x
     y_ref[:] = y
@@ -469,7 +455,6 @@ def _full_kernel(H_ref, g_ref, srow_ref, l_ref, u_ref, U0_ref, lam0_ref,
     lo = lo_raw * e
     hi = hi_raw * e
     rho = jnp.where((hi - lo) < 1e-6, rho_eq, rho_ineq)
-    inv_rho = 1.0 / rho
 
     # ---- K = Hs + A^T rho A + sigma I with A = diag(es) P0 diag(d):
     # ata = S^T S with S = (sqrt(rho)*es) ⊙ P0 ⊙ d — symmetric by
@@ -481,12 +466,8 @@ def _full_kernel(H_ref, g_ref, srow_ref, l_ref, u_ref, U0_ref, lam0_ref,
     )
     K = Hs + ata + sigma * jnp.eye(n, dtype=jnp.float32)[None]
 
-    # ---- invert in VMEM (same recursion as iterate_fused) ----
-    Kinv = _schur_inv_t(K)
-    eye2 = 2.0 * jnp.eye(n, dtype=jnp.float32)
-    for _ in range(newton_schulz_iters):
-        Kinv = _bmm(Kinv, eye2[None] - _bmm(K, Kinv))
-        Kinv = 0.5 * (Kinv + jnp.swapaxes(Kinv, -1, -2))
+    # ---- invert in VMEM (the shared recursion) ----
+    Kinv = _invert_in_vmem(K, newton_schulz_iters)
 
     # ---- warm-start mapping into scaled coordinates (mirrors
     # admm_fast.solve_batch: x0 = U0/d, z0 = clip(es P0 U0, l, u),
@@ -499,28 +480,11 @@ def _full_kernel(H_ref, g_ref, srow_ref, l_ref, u_ref, U0_ref, lam0_ref,
     )
     y = srow * lam0 * norms
 
-    # ---- ADMM iterations (identical math to _fused_kernel) ----
-    def body(_, carry):
-        x, z, y = carry
-        v = es * (rho * z - y)
-        rhs = sigma * x - q + d * jnp.dot(
-            v, P0, preferred_element_type=jnp.float32, precision=_PREC_HI
-        )
-        xt = jax.lax.dot_general(
-            Kinv, rhs, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=_PREC_HI,
-        )
-        zt = es * jnp.dot(d * xt, P0T, preferred_element_type=jnp.float32,
-                          precision=_PREC_HI)
-        x_new = alpha * xt + (1.0 - alpha) * x
-        zbar = alpha * zt + (1.0 - alpha) * z
-        z_new = jnp.clip(zbar + y * inv_rho, lo, hi)
-        y_new = y + rho * (zbar - z_new)
-        return x_new, z_new, y_new
-
-    x, _, y = jax.lax.fori_loop(0, iterations, body, (x, z, y))
-
-    # ---- unscale in-kernel: problem units out ----
+    # ---- the shared ADMM loop, then unscale in-kernel ----
+    x, y = _admm_iterations(
+        Kinv, q, d, es, rho, lo, hi, P0T, P0, x, z, y,
+        iterations=iterations, sigma=sigma, alpha=alpha,
+    )
     U_ref[:] = x * d
     lam_ref[:] = es * y
 
