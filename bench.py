@@ -513,6 +513,60 @@ def bench_pod_scale(total=65536, chunk=8192, horizon=10, iters=3):
     }
 
 
+def bench_jump_sweep(batch=64, ticks=2000):
+    """Closed-loop JUMPING16 survival at batch on-chip — the r4
+    flight-aware-reference capability (the reference defines the gait,
+    ref ``linear_mpc/gait.py:19``, but its constant-height X_ref cannot
+    fly it).  Runs its own rollout (the mixed-gait sweep shares one
+    horizon; jumping needs h=16)."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    from pympc_quadruped_tpu.env import srb_env
+    from pympc_quadruped_tpu.models.command import Command
+    from pympc_quadruped_tpu.models.gaits import Gaits
+    from pympc_quadruped_tpu.models.mpc import MpcParams
+    from pympc_quadruped_tpu.models.robots import aliengo
+
+    mpc = MpcParams(horizon=16)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + jnp.shape(x)), t
+    )
+    robot = tile(aliengo())
+    gait = tile(Gaits.jumping16())
+    cmd = tile(Command.trot_forward(0.4))
+
+    @jax.jit
+    def run():
+        return srb_env.rollout(
+            robot, mpc, gait, cmd, num_ticks=ticks, auto_reset=False,
+            cmd_ramp_ticks=500,
+        )
+
+    jax.block_until_ready(run())
+    t0 = _t.time()
+    (state, _), m = run()
+    jax.block_until_ready(state)
+    wall = _t.time() - t0
+    up = np.asarray(m["upright"])
+    h = np.asarray(m["height"])
+    alive = (
+        (np.asarray(state.pos[:, 2]) > 0.1)
+        & (np.asarray(state.pos[:, 2]) < 1.0)
+        & (up[-ticks // 4:].min(axis=0) > 0.6)
+        & ~np.asarray(m["diverged"]).any(axis=0)
+    )
+    return {
+        "batch": batch,
+        "sim_ticks": ticks,
+        "wall_s": round(wall, 2),
+        "survival_frac": round(float(alive.mean()), 4),
+        "hop_trough_m": round(float(h.min()), 3),
+        "hop_apex_m": round(float(h.max()), 3),
+    }
+
+
 def bench_h16(iters=6):
     """The reference's own flagship configuration: horizon 16
     (ref ``config/linear_mpc_configs.py:11`` — 192-var / 320-row QP,
@@ -743,6 +797,10 @@ def main():
         except Exception as e:
             record["h16"] = {"error": str(e)[:200]}
         try:
+            record["jump_sweep"] = _retry(lambda: bench_jump_sweep())
+        except Exception as e:
+            record["jump_sweep"] = {"error": str(e)[:200]}
+        try:
             record["fullorder_tick"] = _retry(lambda: bench_fullorder_tick())
         except Exception as e:
             record["fullorder_tick"] = {"error": str(e)[:200]}
@@ -774,6 +832,8 @@ def main():
             "in_loop_solves_per_s")
     if isinstance(record.get("h16"), dict):
         summary["h16_solves_per_s"] = record["h16"].get("solves_per_s")
+    if isinstance(record.get("jump_sweep"), dict):
+        summary["jump_survival"] = record["jump_sweep"].get("survival_frac")
     print(json.dumps(summary))
 
 

@@ -74,30 +74,34 @@ def test_mixed_batch_matches_uniform_batch():
         )
 
 
-def test_jumping16_survives_with_flight_aware_reference():
+@pytest.mark.parametrize("robot_name,vx,trough_min", [
+    ("aliengo", 0.4, 0.19),
+    ("a1", 0.3, 0.25),
+])
+def test_jumping16_survives_with_flight_aware_reference(robot_name, vx, trough_min):
     """JUMPING16 — the gait the reference defines but never demonstrates
     anywhere (ref linear_mpc/gait.py:19) — survives closed-loop in the SRB
-    env at 0.4 m/s under the r4 flight-aware reference (ballistic z/vz
-    rows during full-flight horizon steps + takeoff-velocity ramp in
-    stance, refmpc._flight_rows).  Survival uses the sweep's own criteria
-    over 8 jittered scenarios; the vanilla constant-height reference rides
-    the trough at ~0.08 m and fails this gate marginally (r4 scale sweep,
+    env under the r4 flight-aware reference (ballistic z/vz rows during
+    full-flight horizon steps + takeoff-velocity ramp in stance,
+    refmpc._flight_rows), for BOTH robots.  Survival uses the sweep's own
+    criteria over 8 jittered scenarios; the vanilla constant-height
+    reference rides the trough near the ground and fails (r4 scale sweep,
     FLIGHT_APEX_SCALE docstring)."""
     import numpy as np
     from pympc_quadruped_tpu.env import srb_env
     from pympc_quadruped_tpu.models.command import Command
     from pympc_quadruped_tpu.models.gaits import Gaits
     from pympc_quadruped_tpu.models.mpc import MpcParams
-    from pympc_quadruped_tpu.models.robots import aliengo
+    from pympc_quadruped_tpu.models.robots import a1, aliengo
 
     B = 8
     mpc = MpcParams(horizon=16)
     tile = lambda t: jax.tree.map(
         lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
     )
-    robot = tile(aliengo())
+    robot = tile(aliengo() if robot_name == "aliengo" else a1())
     gait = tile(Gaits.jumping16())
-    cmd = tile(Command.trot_forward(0.4))
+    cmd = tile(Command.trot_forward(vx))
     s0 = jax.vmap(srb_env.default_init_state)(robot)
     rng = np.random.default_rng(5)
     dp = np.zeros((B, 3), np.float32)
@@ -118,6 +122,6 @@ def test_jumping16_survives_with_flight_aware_reference():
     assert alive.mean() >= 0.9, f"survival {alive.mean():.2f}"
     # It actually FLIES: the height oscillation spans a real hop, not a
     # crouch (trough above half the desired height, apex above it).
-    assert h.min() > 0.19 and h.max() > 0.45, (h.min(), h.max())
+    assert h.min() > trough_min and h.max() > 0.45, (h.min(), h.max())
     # And it locomotes under the velocity command.
-    assert np.asarray(state.pos[:, 0]).min() > 0.4
+    assert np.asarray(state.pos[:, 0]).min() > 0.3
