@@ -125,3 +125,69 @@ def test_jumping16_survives_with_flight_aware_reference(robot_name, vx, trough_m
     assert h.min() > trough_min and h.max() > 0.45, (h.min(), h.max())
     # And it locomotes under the velocity command.
     assert np.asarray(state.pos[:, 0]).min() > 0.3
+
+
+def _chunked_transition(gait_plan, horizon, vx):
+    from pympc_quadruped_tpu.env import srb_env
+    from pympc_quadruped_tpu.models.command import Command
+    from pympc_quadruped_tpu.models.gaits import Gaits
+    from pympc_quadruped_tpu.models.robots import aliengo
+
+    B = 2
+    mpc = MpcParams(horizon=horizon)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
+    )
+    robot = tile(aliengo())
+    cmd = tile(Command.trot_forward(vx))
+    state, carry, tick0 = None, None, 0
+    out = []
+    for gname, ticks in gait_plan:
+        gait = tile(Gaits.by_name(gname))
+        (state, carry), m = srb_env.rollout(
+            robot, mpc, gait, cmd, num_ticks=ticks,
+            init_state=state, carry_in=carry, tick0=tick0,
+            return_full_carry=True, auto_reset=False,
+        )
+        tick0 += ticks
+        out.append((gname, m))
+    return state, out
+
+
+def test_gait_transitions_mid_run():
+    """LIVE gait transitions: trot -> pace -> trot through the chunked
+    rollout API (full controller state threaded across the switch — warm
+    starts, swing latches, desired-position integrators).  The reference
+    cannot switch gaits at all mid-run (its Gait enum instance is fixed at
+    construction, ref ``mujoco_aliengo.py:176``); here a transition is just
+    a chunk boundary with different gait data."""
+    _, chunks = _chunked_transition(
+        [("trotting10", 1000), ("pacing10", 1000), ("trotting10", 1000)],
+        horizon=10, vx=0.8,
+    )
+    for gname, m in chunks:
+        up = np.asarray(m["upright"])
+        assert not np.asarray(m["diverged"]).any(), gname
+        assert up.min() > 0.95, f"{gname}: up_min {up.min():.3f}"
+        assert np.asarray(m["vel_err"])[-300:].mean() < 0.2, gname
+
+
+def test_trot_jump_trot_transition():
+    """A trotting robot transitions INTO jumping16 (real flight phases)
+    and lands back into a clean trot — all mid-run, no reset.  Exercises
+    the flight-aware reference switching on and off live (it is data-gated
+    per solve tick by the stance table, refmpc._flight_rows)."""
+    state, chunks = _chunked_transition(
+        [("trotting16", 1200), ("jumping16", 1280), ("trotting16", 1200)],
+        horizon=16, vx=0.4,
+    )
+    for gname, m in chunks:
+        up = np.asarray(m["upright"])
+        assert not np.asarray(m["diverged"]).any(), gname
+        assert up.min() > 0.95, f"{gname}: up_min {up.min():.3f}"
+    # The jump chunk actually flew; the final trot chunk re-settled.
+    h_jump = np.asarray(chunks[1][1]["height"])
+    assert h_jump.max() > 0.45 and h_jump.min() > 0.25
+    ve_final = np.asarray(chunks[2][1]["vel_err"])[-300:].mean()
+    assert ve_final < 0.1, ve_final
+    assert np.asarray(state.pos[:, 0]).min() > 1.0
