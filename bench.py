@@ -223,7 +223,8 @@ def bench_warm_marginal(batch, horizon, iters=8, K=6):
     primal/dual at the in-loop iteration count
     (``AdmmFastConfig.inloop()``, 40 warm vs 56 cold — see the preset's
     docstring for the SRB/full-order quality study).  Reported as a
-    separate row; the cold 80-iteration number stays the headline.
+    separate row; the cold number (56 iterations since the r4 retune)
+    stays the headline.
     """
     import jax
     import jax.numpy as jnp

@@ -163,7 +163,7 @@ def make_oracle_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0,
 
 
 def make_jax_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0,
-                        gait_name="trotting10"):
+                        gait_name="trotting10", gait_plan=None):
     import jax
     import jax.numpy as jnp
     from pympc_quadruped_tpu.models.command import Command
@@ -177,12 +177,28 @@ def make_jax_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0,
     tile = lambda t: jax.tree.map(lambda x: jnp.asarray(x)[None], t)
     params = aliengo() if robot_name == "aliengo" else a1()
     command = Command.trot_forward(vx).replace(yaw_turn_rate=jnp.float32(yaw_rate))
-    robot, gait, cmd = tile(params), tile(Gaits.by_name(gait_name)), tile(command)
+    robot, cmd = tile(params), tile(command)
+    # ``gait_plan`` = [(gait_name, until_tick), ...]: LIVE gait switching.
+    # Gait params are shape-uniform pytrees, so the gait is a traced
+    # ARGUMENT of one jitted step — switching costs nothing (no recompile,
+    # full controller state carries across, same contract as the chunked
+    # rollout transitions in tests/test_gait_sweep.py).  The reference's
+    # Gait object is fixed at construction (ref mujoco_aliengo.py:176).
+    if gait_plan is None:
+        gait_plan = [(gait_name, None)]
+    plan_gaits = [tile(Gaits.by_name(g)) for g, _ in gait_plan]
+    plan_until = [u for _, u in gait_plan]
     carry = tile(ctl.init_carry(mpc.horizon))
     step_fn = jax.jit(
-        lambda c, o, t: ctl.step_batch(robot, mpc, gait, cmd, c, o, t)
+        lambda g, c, o, t: ctl.step_batch(robot, mpc, g, cmd, c, o, t)
     )
     state = {"carry": carry}
+
+    def gait_at(tick):
+        for g, until in zip(plan_gaits, plan_until):
+            if until is None or tick < until:
+                return g
+        return plan_gaits[-1]
 
     def step(obs, tick):
         o = kin.RobotObs(
@@ -193,7 +209,9 @@ def make_jax_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0,
             q=jnp.asarray(obs["q"], jnp.float32)[None],
             qdot=jnp.asarray(obs["qdot"], jnp.float32)[None],
         )
-        state["carry"], out = step_fn(state["carry"], o, jnp.int32(tick))
+        state["carry"], out = step_fn(
+            gait_at(tick), state["carry"], o, jnp.int32(tick)
+        )
         return np.asarray(out.torques[0]), np.asarray(out.contact_forces[0])
 
     return step
@@ -201,7 +219,8 @@ def make_jax_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0,
 
 def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
         robot="aliengo", vx=None, xml=None, sensors="truth", yaw_rate=0.0,
-        render=None, render_fps=30, gait="trotting10", view=False):
+        render=None, render_fps=30, gait="trotting10", view=False,
+        gait_plan=None):
     """``render``: path of an offscreen-rendered GIF of the run (the
     publishable artifact matching the reference's
     ``doc/results/trotting10_mujoco.gif``).  Uses ``mujoco.Renderer`` with a
@@ -228,10 +247,13 @@ def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
     reset_nominal(model, data, height)
     mujoco.mj_step(model, data)  # settle one step, like the reference (ref :167)
 
+    if gait_plan is not None and controller != "jax":
+        raise ValueError("--gait-plan needs --controller jax")
     step_fn = (
         make_oracle_controller(horizon, robot, vx, yaw_rate, gait)
         if controller == "oracle"
-        else make_jax_controller(horizon, robot, vx, yaw_rate, gait)
+        else make_jax_controller(horizon, robot, vx, yaw_rate, gait,
+                                 gait_plan=gait_plan)
     )
     estimator = None
     if sensors == "raw":
@@ -358,6 +380,10 @@ if __name__ == "__main__":
     )
     ap.add_argument("--render", default=None,
                     help="write an offscreen-rendered GIF of the run here")
+    ap.add_argument("--gait-plan", default=None, dest="gait_plan",
+                    help="live gait switching (jax controller): "
+                         "'name:until_tick,name:until_tick,name' e.g. "
+                         "'trotting16:1200,jumping16:2480,trotting16'")
     ap.add_argument("--view", action="store_true",
                     help="live interactive window (mujoco.viewer.launch_passive;"
                          " needs a display — use --render when headless)")
@@ -366,7 +392,13 @@ if __name__ == "__main__":
                          "run any gait too): trotting10/16, pacing10/16, "
                          "bounding8, jumping16, standing")
     args = ap.parse_args()
+    plan = None
+    if args.gait_plan:
+        plan = []
+        for part in args.gait_plan.split(","):
+            name, _, until = part.partition(":")
+            plan.append((name, int(until) if until else None))
     run(args.controller, args.seconds, args.horizon, args.record,
         robot=args.robot, vx=args.vx, xml=args.xml, sensors=args.sensors,
         yaw_rate=args.yaw_rate, render=args.render, gait=args.gait,
-        view=args.view)
+        view=args.view, gait_plan=plan)

@@ -140,3 +140,17 @@ def test_jumping16_e2e_jax():
     # Hopping rides below the standing height but well above a collapse.
     assert 0.22 < res["mean_height_last_2s"] < 0.40, res
     assert res["final_x"] > 0.3, res
+
+
+def test_trot_jump_trot_gait_plan():
+    """Live gait switching in MuJoCo via --gait-plan (trot -> jumping16 ->
+    trot at h=16): the gait is a traced argument of one jitted controller
+    step, so a switch costs nothing and the full controller state carries
+    across.  The reference's Gait object is fixed at construction
+    (ref mujoco_aliengo.py:176).  Artifact: docs/trot_jump_trot_mujoco.gif."""
+    res = run(controller="jax", horizon=16, vx=0.4, seconds=3.0, verbose=False,
+              gait_plan=[("trotting16", 800), ("jumping16", 2100),
+                         ("trotting16", None)])
+    assert res["completed"], res
+    assert 0.25 < res["mean_height_last_2s"] < 0.42, res
+    assert res["final_x"] > 0.5, res
