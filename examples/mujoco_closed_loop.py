@@ -249,6 +249,21 @@ def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
 
     if gait_plan is not None and controller != "jax":
         raise ValueError("--gait-plan needs --controller jax")
+    if gait_plan is not None:
+        # The flight-aware reference trajectory is exact only when the
+        # horizon covers the gait period (refmpc._flight_rows docstring);
+        # running e.g. jumping16 under the default --horizon 10 silently
+        # truncates the stance table mid-flight-window (r4 advisor).
+        from pympc_quadruped_tpu.models.gaits import Gaits
+
+        for name, _ in gait_plan:
+            segs = int(Gaits.by_name(name).num_segments)
+            if segs > horizon:
+                raise ValueError(
+                    f"--gait-plan gait '{name}' has {segs} segments but "
+                    f"--horizon is {horizon}; the planned-gait table would "
+                    f"be truncated (use --horizon {segs})"
+                )
     step_fn = (
         make_oracle_controller(horizon, robot, vx, yaw_rate, gait)
         if controller == "oracle"

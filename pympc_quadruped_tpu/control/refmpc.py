@@ -233,7 +233,14 @@ def _flight_rows(gait_table: jnp.ndarray, z_des, mpc: MpcParams):
     j = pos.astype(jnp.float32)                               # (h,)
     L = L.astype(jnp.float32)
 
-    has_flight = jnp.any(~contact)
+    # Totality gate: the arc rows are only meaningful for MIXED tables
+    # (some stance, some flight).  All-stance tables (every trot/pace/bound
+    # view) select the constant rows bitwise; all-FLIGHT tables (no contact
+    # anywhere — unreachable with library gaits but representable) would
+    # otherwise hit the circular-join path with first_len == last_len == h
+    # and produce a garbage descending z_ref (r4 advisor finding), so they
+    # are gated to the constant rows the same way.
+    has_flight = jnp.any(~contact) & jnp.any(contact)
     flight = ~contact
     # Takeoff velocity per window; stance ramps use the longest flight
     # window seen anywhere in the table (the gait's structural flight).

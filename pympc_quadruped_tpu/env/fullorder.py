@@ -500,7 +500,14 @@ def rollout(
             return s2, f
 
         s_final, fs = jax.lax.scan(one, s, None, length=substeps)
-        return s_final, fs[-1]
+        # Report the tick's MEAN substep force (= contact impulse / dt),
+        # not the last substep's instantaneous sample: a foot that carried
+        # load early in the tick but unloaded by the final substep would
+        # otherwise read ~0 N to force-derived metrics and to the measured-
+        # contact KF gate, flickering the gate at touchdown (r4 advisor).
+        # The impulse average is the physically meaningful 1 kHz force
+        # sample; substeps == 1 is unchanged.
+        return s_final, jnp.mean(fs, axis=0)
 
     def tick_fn(carry, k):
         env_state, inner = carry

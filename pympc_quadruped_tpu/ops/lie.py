@@ -160,6 +160,113 @@ def exp_so3(omega: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
     return jnp.eye(3, dtype=K.dtype) + jnp.sin(theta) * K + (1.0 - jnp.cos(theta)) * (K @ K)
 
 
+# --------------------------------------------------------------------------
+# SE(3) / product-of-exponentials sublibrary.
+#
+# The reference ships these as part of its math library (ref
+# utils/kinematics.py:188-306: invT, adSE3_T, adSE3_Rp, Rp2T, exp_se3,
+# compute_screw_axis, twist2se3, fk_open_chain) but no controller path ever
+# calls them — the shipped surface is completed here for migration parity.
+# Unlike the reference's branchy list-normalizing numpy, these are total,
+# branch-free closed forms: jittable, vmap-safe, and defined for ANY screw
+# (the reference's exp_se3 prints an error and returns None unless
+# ||omega|| is exactly 1 or (0 with ||v||==1); here the small-angle limit
+# is handled with a Taylor-safe select so theta may also carry the norm).
+# --------------------------------------------------------------------------
+
+
+def rp_to_se3(R: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """(3,3) rotation + (3,) translation -> (4,4) homogeneous transform
+    (ref kinematics.py:226-235)."""
+    T = jnp.zeros((4, 4), dtype=R.dtype)
+    T = T.at[:3, :3].set(R).at[:3, 3].set(p)
+    return T.at[3, 3].set(1.0)
+
+
+def inv_se3(T: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of a homogeneous transform: (R,p) -> (R^T, -R^T p)
+    (ref kinematics.py:188-198)."""
+    R, p = T[:3, :3], T[:3, 3]
+    return rp_to_se3(R.T, -R.T @ p)
+
+
+def adjoint_rp(R: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """6x6 SE(3) adjoint [[R, 0], [ [p]x R, R ]] in the reference's
+    (omega-first) twist convention (ref kinematics.py:213-224)."""
+    Z = jnp.zeros((3, 3), dtype=R.dtype)
+    pR = skew(p) @ R
+    return jnp.block([[R, Z], [pR, R]])
+
+
+def adjoint_se3(T: jnp.ndarray) -> jnp.ndarray:
+    """6x6 adjoint of a homogeneous transform (ref kinematics.py:200-211)."""
+    return adjoint_rp(T[:3, :3], T[:3, 3])
+
+
+def screw_axis(omega: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Screw axis (6,) of a revolute joint: unit axis ``omega`` through the
+    point ``q`` -> ``[omega, -omega x q]`` (ref kinematics.py:264-273)."""
+    return jnp.concatenate([omega, -jnp.cross(omega, q)])
+
+
+def twist_to_se3(twist: jnp.ndarray) -> jnp.ndarray:
+    """(6,) twist [omega, v] -> 4x4 se(3) matrix [[ [omega]x, v],[0,0]]
+    (ref kinematics.py:276-292)."""
+    out = jnp.zeros((4, 4), dtype=twist.dtype)
+    return out.at[:3, :3].set(skew(twist[:3])).at[:3, 3].set(twist[3:])
+
+
+def exp_se3(S: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+    """Matrix exponential of the screw ``S*theta`` -> (4,4) transform.
+
+    Total closed form (ref kinematics.py:237-262 branches on exact unit
+    norms and returns None otherwise): with w = ||omega||,
+
+        R = I + sin(w t)/w [o]x + (1-cos(w t))/w^2 [o]x^2
+        p = (I t + (1-cos(w t))/w^2 [o]x + (w t - sin(w t))/w^3 [o]x^2) v
+
+    and the w -> 0 limit (R = I, p = t v) taken via a guarded select, so
+    pure translations and non-unit axes are both defined.  For unit omega
+    this matches the reference bit-for-bit in its valid domain.
+    """
+    omega, v = S[:3], S[3:]
+    w2 = jnp.dot(omega, omega)
+    w = jnp.sqrt(w2)
+    small = w < 1e-6
+    ws = jnp.where(small, 1.0, w)  # guarded divisor
+    a = w * theta
+    K = skew(omega)
+    K2 = K @ K
+    sin_c = jnp.where(small, theta, jnp.sin(a) / ws)
+    cos_c = jnp.where(small, 0.5 * theta * theta, (1.0 - jnp.cos(a)) / w2)
+    V_c = jnp.where(small, theta**3 / 6.0, (a - jnp.sin(a)) / (w2 * ws))
+    eye = jnp.eye(3, dtype=S.dtype)
+    R = eye + sin_c * K + cos_c * K2
+    V = theta * eye + cos_c * K + V_c * K2
+    return rp_to_se3(R, V @ v)
+
+
+def fk_open_chain(
+    home: jnp.ndarray, screws: jnp.ndarray, thetas: jnp.ndarray
+) -> jnp.ndarray:
+    """Product-of-exponentials forward kinematics (ref kinematics.py:294-306):
+    ``T = exp(S_0 q_0) ... exp(S_{J-1} q_{J-1}) @ home``.
+
+    ``screws`` is a stacked (J, 6) array (the reference takes a Python list);
+    the chain is folded with ``lax.scan`` so J is a static shape, not a
+    Python loop over traced values.
+    """
+    import jax
+
+    def step(T, sq):
+        S, q = sq[:6], sq[6]
+        return T @ exp_se3(S, q), None
+
+    sq = jnp.concatenate([screws, thetas[:, None]], axis=1)
+    T, _ = jax.lax.scan(step, jnp.eye(4, dtype=home.dtype), sq)
+    return T @ home
+
+
 def quat_integrate(q: jnp.ndarray, omega_body: jnp.ndarray, dt: jnp.ndarray) -> jnp.ndarray:
     """Integrate a wxyz quaternion by a body-frame angular velocity over dt.
 

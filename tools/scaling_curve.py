@@ -176,9 +176,17 @@ def main():
                        str(args.iters)], 2)
         w1 = _run_sub(["--dcn-worker", "1", str(port), "--iters",
                        str(args.iters)], 2)
-        out0, err0 = w0.communicate(timeout=1800)
-        w1.communicate(timeout=60)
-        assert w0.returncode == 0, out0 + err0
+        # Any failure path must kill BOTH workers: a timeout on one leaves
+        # the other spinning on the coordinator forever (r4 advisor).
+        try:
+            out0, err0 = w0.communicate(timeout=1800)
+            w1.communicate(timeout=60)
+            assert w0.returncode == 0, out0 + err0
+        finally:
+            for w in (w0, w1):
+                if w.poll() is None:
+                    w.kill()
+                    w.wait()
         dcn_p50s.append(json.loads(out0.strip().splitlines()[-1])["p50_s"])
     med4 = next(p for p in points if p["devices"] == 4)["p50_s_median"]
     dmed = float(np.median(np.array(dcn_p50s)))
