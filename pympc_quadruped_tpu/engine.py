@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from pympc_quadruped_tpu.models.mpc import MpcParams
 from pympc_quadruped_tpu.models.robots import RobotParams
 from pympc_quadruped_tpu.control import refmpc
-from pympc_quadruped_tpu.ops.qp import admm, admm_fast, cones, ipm
+from pympc_quadruped_tpu.ops import srb
+from pympc_quadruped_tpu.ops.qp import admm, admm_fast, cones, ipm, riccati
 
 
 def solve_scenarios(
@@ -31,10 +32,11 @@ def solve_scenarios(
     pos_base_feet: jnp.ndarray,  # (B,4,3)
     X_ref: jnp.ndarray,        # (B,h,13) or (B,13h)
     gait_table: jnp.ndarray,   # (B,4h)
-    solver: Literal["admm", "admm_fast", "admm_ref", "ipm"] = "admm",
+    solver: Literal["admm", "admm_fast", "admm_ref", "ipm", "riccati"] = "admm",
     ipm_cfg: ipm.IpmConfig = ipm.IpmConfig(),
     admm_cfg: admm.AdmmConfig = admm.AdmmConfig(),
     admm_fast_cfg: admm_fast.AdmmFastConfig = admm_fast.AdmmFastConfig(),
+    riccati_cfg: riccati.RiccatiConfig = riccati.RiccatiConfig(),
     return_full_horizon: bool = False,
     return_diagnostics: bool = False,
     warm=None,
@@ -62,8 +64,10 @@ def solve_scenarios(
     cut it enables).  With ``return_duals`` the row duals ride along AFTER
     the diagnostics: ``(U[, diag], lam)``; carry them into the next warm.
     """
-    if (warm is not None or return_duals) and solver not in ("admm", "admm_fast"):
-        raise ValueError("warm/return_duals require the fast ADMM path")
+    if (warm is not None or return_duals) and solver not in (
+        "admm", "admm_fast", "riccati"
+    ):
+        raise ValueError("warm/return_duals require the fast ADMM or riccati path")
     if return_duals and not return_full_horizon:
         # The warm start consumes the FULL-horizon primal; returning only
         # u_0 alongside the duals would hand the caller an unusable pair.
@@ -73,6 +77,36 @@ def solve_scenarios(
         robot = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + jnp.shape(a)), robot)
 
     X_ref = X_ref.reshape(B, -1)
+
+    if solver == "riccati":
+        # Sparse O(h) path: NO condensing — Ad/Bd feed the Riccati-ADMM
+        # solver directly (the h=16 flagship route; see ops/qp/riccati.py).
+        Ad, Bd = jax.vmap(
+            lambda r, y, p: srb.discretize(
+                *srb.state_space(r, y, p), mpc.dt_predict
+            )
+        )(robot, yaw, pos_base_feet)
+        mv = jax.vmap(lambda t: cones.variable_mask(t, mpc))(gait_table)
+        res = riccati.solve_batch(
+            Ad, Bd, x_t, X_ref, gait_table, robot.fz_max, mpc,
+            riccati_cfg, warm=warm, return_duals=return_duals,
+        )
+        U, lam = res if return_duals else (res, None)
+        out = U if return_full_horizon else U[:, :12]
+        results = [out]
+        if return_diagnostics:
+            from pympc_quadruped_tpu.utils import observability
+
+            H, g, _ = jax.vmap(
+                lambda r, x, y, p, Xr, t: refmpc.build_qp(r, mpc, x, y, p, Xr, t)
+            )(robot, x_t, yaw, pos_base_feet, X_ref, gait_table)
+            diag = observability.qp_residuals(
+                H, g, gait_table, robot.fz_max, U, mpc
+            )
+            results.append(diag)
+        if return_duals:
+            results.append(lam)
+        return results[0] if len(results) == 1 else tuple(results)
 
     H, g, mv = jax.vmap(
         lambda r, x, y, p, Xr, t: refmpc.build_qp(r, mpc, x, y, p, Xr, t)
