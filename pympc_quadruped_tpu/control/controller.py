@@ -33,8 +33,8 @@ from pympc_quadruped_tpu.models.gaits import GaitParams
 from pympc_quadruped_tpu.models.mpc import MpcParams
 from pympc_quadruped_tpu.models.robots import RobotParams
 from pympc_quadruped_tpu.control import legctrl, refmpc, swing
-from pympc_quadruped_tpu.ops import gaitsched, kin
-from pympc_quadruped_tpu.ops.qp import admm, admm_fast, cones, ipm
+from pympc_quadruped_tpu.ops import gaitsched, kin, srb
+from pympc_quadruped_tpu.ops.qp import admm, admm_fast, cones, ipm, riccati
 
 # Solver used by every closed-loop surface unless overridden: the fast ADMM
 # (Ruiz-scaled, matmul-only Schur inverse, Pallas iteration on TPU) — the
@@ -94,7 +94,7 @@ def _solve_branch(robot, mpc, cmd, mpc_carry, ks, x_t, vel_des_world, table, sol
     behavior, where the last solution stays applied until the next solve
     overwrites it (ref ``linear_mpc/mpc.py:99,108``).
     """
-    solver, ipm_cfg, admm_cfg, af_cfg = solver_cfg
+    solver, ipm_cfg, admm_cfg, af_cfg, ric_cfg = solver_cfg
     # The stance table makes the reference flight-aware (ballistic z/vz
     # rows for jumping gaits; BITWISE no-op for any gait without a
     # full-flight step — see refmpc._flight_rows).
@@ -104,6 +104,36 @@ def _solve_branch(robot, mpc, cmd, mpc_carry, ks, x_t, vel_des_world, table, sol
     )(mpc_carry, x_t, vel_des_world, cmd, robot, table)
 
     yaw = x_t[:, 2]
+    if solver == "riccati":
+        # Sparse O(h) path: NO condensing in the loop — Ad/Bd feed the
+        # Riccati-ADMM solver (ops/qp/riccati.py) with the same shifted
+        # warm start as the condensed fast path below.
+        Ad, Bd = jax.vmap(
+            lambda r, y, p: srb.discretize(
+                *srb.state_space(r, y, p), mpc.dt_predict
+            )
+        )(robot, yaw, ks.pos_base_feet)
+        mv = jax.vmap(lambda t: cones.variable_mask(t, mpc))(table)
+        U_ws = jnp.concatenate(
+            [mpc_carry.qp_primal[:, 12:], mpc_carry.qp_primal[:, -12:]], axis=-1
+        )
+        lam_ws = jnp.concatenate(
+            [mpc_carry.qp_dual[:, 20:], mpc_carry.qp_dual[:, -20:]], axis=-1
+        )
+        U, lam = riccati.solve_batch(
+            Ad, Bd, x_t, X, table, robot.fz_max, mpc, ric_cfg,
+            warm=(U_ws, lam_ws), return_duals=True,
+        )
+        ok_ws = jnp.all(jnp.isfinite(U), axis=-1, keepdims=True) & jnp.all(
+            jnp.isfinite(lam), axis=-1, keepdims=True
+        )
+        mpc_carry = mpc_carry.replace(
+            qp_primal=jnp.where(ok_ws, U * mv, 0.0),
+            qp_dual=jnp.where(ok_ws, lam, 0.0),
+        )
+        ok = jnp.all(jnp.isfinite(U), axis=-1, keepdims=True)
+        forces = jnp.where(ok, (U * mv)[:, :12], mpc_carry.contact_forces)
+        return mpc_carry.replace(contact_forces=forces), forces
     if solver == "ipm_parity":
         # Full-precision path: float-float condensing + compensated IPM.
         # The BASELINE "1e-3 GRF parity vs the CPU reference" configuration
@@ -181,13 +211,14 @@ def step_batch(
     carry: ControllerCarry,
     obs: kin.RobotObs,
     tick: jnp.ndarray,
-    solver: Literal["admm_fast", "admm", "ipm", "ipm_parity"] = DEFAULT_SOLVER,
+    solver: Literal["admm_fast", "admm", "ipm", "ipm_parity", "riccati"] = DEFAULT_SOLVER,
     ipm_cfg: ipm.IpmConfig = ipm.IpmConfig(),
     admm_cfg: admm.AdmmConfig = admm.AdmmConfig(),
     # In-loop default: the warm-started receding-horizon preset (see
     # AdmmFastConfig.inloop) — every solve after the first starts from the
     # previous tick's shifted primal/dual.
     admm_fast_cfg: admm_fast.AdmmFastConfig = admm_fast.AdmmFastConfig.inloop(),
+    riccati_cfg: riccati.RiccatiConfig = riccati.RiccatiConfig.inloop(),
 ):
     """Batched tick: every pytree argument except ``mpc`` and ``tick`` carries a
     leading scenario axis (``robot``, ``gait`` and ``cmd`` included — they are
@@ -195,7 +226,7 @@ def step_batch(
 
     Returns (carry', ControllerOutput) with batch leading axes.
     """
-    solver_cfg = (solver, ipm_cfg, admm_cfg, admm_fast_cfg)
+    solver_cfg = (solver, ipm_cfg, admm_cfg, admm_fast_cfg, riccati_cfg)
 
     ks, swing_states, table, x_t, mpc_carry, vel_des_world = jax.vmap(
         lambda r, gt, cm, c, o: _pre_solve(r, mpc, gt, cm, c, o, tick)
