@@ -220,7 +220,7 @@ def make_jax_controller(horizon, robot_name="aliengo", vx=1.2, yaw_rate=0.0,
 def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
         robot="aliengo", vx=None, xml=None, sensors="truth", yaw_rate=0.0,
         render=None, render_fps=30, gait="trotting10", view=False,
-        gait_plan=None):
+        gait_plan=None, warmup_ticks=0):
     """``render``: path of an offscreen-rendered GIF of the run (the
     publishable artifact matching the reference's
     ``doc/results/trotting10_mujoco.gif``).  Uses ``mujoco.Renderer`` with a
@@ -256,9 +256,17 @@ def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
         # truncates the stance table mid-flight-window (r4 advisor).
         from pympc_quadruped_tpu.models.gaits import Gaits
 
+        import numpy as _np
+
         for name, _ in gait_plan:
-            segs = int(Gaits.by_name(name).num_segments)
-            if segs > horizon:
+            g = Gaits.by_name(name)
+            segs = int(g.num_segments)
+            # All-stance gaits (standing) truncate exactly — every table
+            # slot is 1 regardless of horizon — so only phased gaits gate.
+            all_stance = bool(
+                _np.all(_np.asarray(g.stance_durations) >= segs)
+            )
+            if segs > horizon and not all_stance:
                 raise ValueError(
                     f"--gait-plan gait '{name}' has {segs} segments but "
                     f"--horizon is {horizon}; the planned-gait table would "
@@ -293,6 +301,25 @@ def run(controller="oracle", seconds=5.0, horizon=10, record=None, verbose=True,
         # the window every tick (the reference renders every tick too,
         # ref mujoco_aliengo.py:228).
         viewer = mj_viewer.launch_passive(model, data)
+    if warmup_ticks:
+        # Standing warm-up before walking: a FRESH controller instance runs
+        # the STANDING gait at zero command (the reference ships exactly
+        # this as ``initialize_robot``, ref mujoco_aliengo.py:121-155 — 800
+        # ticks of standing MPC with its own controller objects — but no
+        # script ever calls it; here it is a first-class flag).
+        warm_fn = (
+            make_oracle_controller(horizon, robot, 0.0, 0.0, "standing")
+            if controller == "oracle"
+            else make_jax_controller(horizon, robot, 0.0, 0.0, "standing")
+        )
+        for tick in range(int(warmup_ticks)):
+            obs = read_obs(model, data)
+            torques, _ = warm_fn(obs, tick)
+            data.ctrl[:] = torques
+            mujoco.mj_step(model, data)
+        if verbose:
+            print(f"warm-up done ({warmup_ticks} standing ticks, "
+                  f"height {data.qpos[2]:.3f})")
     t_start = time.time()
     for tick in range(n_ticks):
         if estimator is not None:
@@ -402,6 +429,10 @@ if __name__ == "__main__":
     ap.add_argument("--view", action="store_true",
                     help="live interactive window (mujoco.viewer.launch_passive;"
                          " needs a display — use --render when headless)")
+    ap.add_argument("--warmup-ticks", type=int, default=0, dest="warmup_ticks",
+                    help="standing-MPC warm-up ticks before walking (the "
+                         "reference's unused initialize_robot routine, ref "
+                         "mujoco_aliengo.py:121-155, uses 800)")
     ap.add_argument("--gait", default="trotting10",
                     help="any library gait (ref mujoco_aliengo.py:176 could "
                          "run any gait too): trotting10/16, pacing10/16, "
@@ -416,4 +447,4 @@ if __name__ == "__main__":
     run(args.controller, args.seconds, args.horizon, args.record,
         robot=args.robot, vx=args.vx, xml=args.xml, sensors=args.sensors,
         yaw_rate=args.yaw_rate, render=args.render, gait=args.gait,
-        view=args.view, gait_plan=plan)
+        view=args.view, gait_plan=plan, warmup_ticks=args.warmup_ticks)

@@ -400,6 +400,7 @@ def rollout(
     key=None,
     cmd_ramp_ticks: int | None = None,
     substeps: int = 1,
+    tick0: int = 0,
 ):
     """Batched closed-loop torque-driven rollout under ``lax.scan``.
 
@@ -603,8 +604,12 @@ def rollout(
             )
         return (env_state, new_inner), metrics
 
+    # ``tick0`` offsets the shared tick counter so chunked callers (the
+    # batch viewer, resume flows) continue the gait phase instead of
+    # restarting it — mirrors srb_env.rollout(tick0=...).
     (final_state, final_inner), metrics = jax.lax.scan(
-        tick_fn, (state0, carry0), jnp.arange(num_ticks, dtype=jnp.int32)
+        tick_fn, (state0, carry0),
+        jnp.arange(num_ticks, dtype=jnp.int32) + jnp.int32(tick0),
     )
     final_carry = final_inner[0] if use_kf else final_inner
     return (final_state, final_carry), metrics

@@ -127,9 +127,9 @@ def _fmt(vals) -> str:
     return " ".join(f"{float(v):.6g}" for v in np.atleast_1d(np.asarray(vals)))
 
 
-def _leg_xml(spec: MjcfSpec, robot: RobotParams, leg: int) -> str:
+def _leg_xml(spec: MjcfSpec, robot: RobotParams, leg: int, prefix: str = "") -> str:
     """One leg subtree: hip -> thigh -> calf(+foot), FL/FR/RL/RR mirrored."""
-    name = LEG_NAMES[leg]
+    name = prefix + LEG_NAMES[leg]
     hip_pos = np.asarray(robot.hip_offset)[leg]
     hip_len = float(np.asarray(robot.hip_len)[leg])       # signed: +y left legs
     l_thigh = float(np.asarray(robot.l_thigh))
@@ -247,3 +247,57 @@ def write_model(path: str, name: str = "aliengo") -> str:
     with open(path, "w") as f:
         f.write(xml)
     return path
+
+
+def build_mjcf_grid(robot: RobotParams, spec: MjcfSpec, n: int,
+                    spacing: float = 1.2) -> str:
+    """Render-only MJCF with ``n`` robot instances in a square grid.
+
+    The batched-rollout viewer analog of the reference's IsaacGym env/actor
+    grid + viewer (ref ``utils/isaacgym_utils.py:154-263``): one scene, one
+    free-joint + 12-joint body per instance (names prefixed ``r<i>_``), no
+    actuators or sensors — trajectories recorded from the on-device envs
+    are REPLAYED by writing each instance's qpos directly
+    (``examples/batch_viz.py``).
+    """
+    import math
+
+    cols = int(math.ceil(math.sqrt(n)))
+    h0 = float(np.asarray(robot.base_height_des))
+    ti = spec.trunk_inertial
+    bodies = []
+    for i in range(n):
+        gx, gy = (i % cols) * spacing, (i // cols) * spacing
+        legs = "".join(
+            _leg_xml(spec, robot, leg, prefix=f"r{i}_") for leg in range(4)
+        )
+        bodies.append(f"""
+    <body name="r{i}_trunk" pos="{gx:.6g} {gy:.6g} {h0:.6g}">
+      <inertial pos="{_fmt(ti.com)}" mass="{ti.mass:.6g}" diaginertia="{_fmt(ti.diag)}"/>
+      <joint type="free" armature="0" damping="0"/>
+      <geom type="box" size="{_fmt(spec.trunk_box)}" rgba="0.2 0.2 0.2 1"/>
+      {legs}
+    </body>""")
+    ext = (int(math.ceil(n / cols)) + 2) * spacing
+    return f"""<mujoco model="{spec.name}_grid{n}">
+  <compiler angle="radian"/>
+  <option timestep="{spec.timestep:.6g}"/>
+  <default>
+    <joint damping="0" armature="0"/>
+    <geom contype="0" conaffinity="0" friction="{_fmt(spec.friction)}"
+          margin="0.001" rgba="0.5 0.6 0.7 1"/>
+  </default>
+  <worldbody>
+    <light pos="{ext / 2:.6g} {ext / 2:.6g} 4" dir="0 0 -1" directional="true"/>
+    <geom name="floor" type="plane" size="0 0 1" condim="3" rgba="0.9 0.9 0.9 1"/>
+    <camera name="grid" pos="{ext * 0.55:.6g} {-ext * 0.7:.6g} {ext * 0.75:.6g}"
+            xyaxes="0.8 0.6 0 -0.3 0.4 0.87"/>
+    {''.join(bodies)}
+  </worldbody>
+</mujoco>
+"""
+
+
+def grid_model_xml(name: str, n: int, spacing: float = 1.2) -> str:
+    """Generated render-only grid MJCF for a named robot."""
+    return build_mjcf_grid(_PARAMS[name](), _SPECS[name](), n, spacing)

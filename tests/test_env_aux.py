@@ -164,3 +164,34 @@ def test_profiling_timers_run():
     assert st["p50_ms"] > 0.0
     th = profiling.throughput(f, x, iters=3, warmup=1, items_per_call=64)
     assert th["items_per_s"] > 0.0
+
+
+def test_fullorder_chunked_tick0_matches_monolithic():
+    """fullorder.rollout(tick0=...) lets chunked callers (batch viewer,
+    resume flows) continue the gait phase: two 60-tick chunks must equal
+    one 120-tick rollout bitwise (same scan, same tick stream)."""
+    from pympc_quadruped_tpu.env import fullorder
+    from pympc_quadruped_tpu.models.command import Command
+    from pympc_quadruped_tpu.models.gaits import Gaits
+    from pympc_quadruped_tpu.models.mpc import MpcParams
+    from pympc_quadruped_tpu.models.robots import aliengo
+
+    B = 2
+    mpc = MpcParams(horizon=10)
+    tile = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
+    )
+    robot = tile(aliengo())
+    gait = tile(Gaits.trotting10())
+    cmd = tile(Command.trot_forward(0.8))
+    (s_mono, c_mono), _ = fullorder.rollout(
+        robot, mpc, gait, cmd, num_ticks=120
+    )
+    (s1, c1), _ = fullorder.rollout(robot, mpc, gait, cmd, num_ticks=60)
+    (s2, c2), _ = fullorder.rollout(
+        robot, mpc, gait, cmd, num_ticks=60, state0=s1, carry0=c1, tick0=60
+    )
+    for a, b in zip(jax.tree.leaves(s_mono), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(c_mono), jax.tree.leaves(c2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
