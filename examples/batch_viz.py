@@ -97,6 +97,12 @@ def render_grid(frames, n, out, spacing=1.2, fps=25):
     import math
 
     cols = int(math.ceil(math.sqrt(n)))
+    rows = int(math.ceil(n / cols))
+    cam = mujoco.MjvCamera()
+    cam.lookat[:] = [(cols - 1) * spacing / 2, (rows - 1) * spacing / 2, 0.25]
+    cam.distance = 1.35 * spacing * max(cols, rows)
+    cam.azimuth = -120.0
+    cam.elevation = -28.0
     images = []
     for pos, quat, q in frames:
         for i in range(n):
@@ -112,7 +118,7 @@ def render_grid(frames, n, out, spacing=1.2, fps=25):
             data.qpos[base + 3:base + 7] = quat[i]
             data.qpos[base + 7:base + 19] = q[i]
         mujoco.mj_forward(model, data)
-        renderer.update_scene(data, camera="grid")
+        renderer.update_scene(data, camera=cam)
         images.append(renderer.render().copy())
     try:
         import imageio
