@@ -989,21 +989,29 @@ def bench_terrain_sweep(batch=256, ticks=1500):
     from pympc_quadruped_tpu.models.mpc import MpcParams
     from pympc_quadruped_tpu.models.robots import aliengo
 
-    mpc = MpcParams(horizon=10)
     tile = lambda t: jax.tree.map(
         lambda x: jnp.broadcast_to(x, (batch,) + jnp.shape(x)), t
     )
     robot = tile(aliengo())
     gait = tile(Gaits.trotting10())
     cmd = tile(Command.trot_forward(0.6))
+    # (terrain, ground_adaptive_height).  The blind rows run the reference's
+    # absolute-height semantics (they work on near-zero-elevation ground);
+    # the *_adaptive rows enable the leg-odometry ground estimate
+    # (MpcParams.ground_adaptive_height) — the blind stairs row is kept as
+    # the documented contrast (its reference-semantics controller commands
+    # the base ~2 m downward mid-staircase and flips within a second).
     terrains = {
-        "flat": None,
-        "rough_2cm": tile(terrain_lib.random_rough(
-            jax.random.PRNGKey(11), amplitude=0.02)),
-        "stairs_6cm": tile(terrain_lib.stairs(0.30, 0.06)),
+        "flat": (None, False),
+        "rough_2cm": (tile(terrain_lib.random_rough(
+            jax.random.PRNGKey(11), amplitude=0.02)), False),
+        "stairs_6cm_blind": (tile(terrain_lib.stairs(0.30, 0.06)), False),
+        "stairs_6cm_adaptive": (tile(terrain_lib.stairs(0.30, 0.06)), True),
+        "slope_15pct_adaptive": (tile(terrain_lib.slope(0.15)), True),
     }
     out = {"batch": batch, "sim_ticks": ticks, "per_terrain": {}}
-    for name, terr in terrains.items():
+    for name, (terr, adaptive) in terrains.items():
+        mpc = MpcParams(horizon=10, ground_adaptive_height=adaptive)
         if terr is None:
             state0 = jax.vmap(fullorder.default_init_state)(robot)
         else:
@@ -1029,6 +1037,9 @@ def bench_terrain_sweep(batch=256, ticks=1500):
             "survival_frac": round(float(alive.mean()), 4),
             "mean_vel_err": round(float(vel_err), 4),
             "fwd_disp_m": round(float(np.asarray(state.pos[:, 0]).mean()), 3),
+            "climb_m": round(float(
+                (np.asarray(state.pos[:, 2]) - np.asarray(state0.pos[:, 2]))
+                .mean()), 3),
             "wall_s": round(wall, 2),
         }
     return out

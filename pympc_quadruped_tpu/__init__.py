@@ -37,6 +37,23 @@ URDFs.  Quaternions are ``(w, x, y, z)`` (MuJoCo convention, reference
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Control-grade matmul precision, framework-wide.  On TPU, JAX's DEFAULT
+# matmul precision runs bf16 multiply passes; for neural nets that is the
+# right trade, but this package computes physics, kinematics and QP data,
+# where the silent ~2^-8 relative rounding is a correctness bug: the
+# state-space/discretization matmuls (`ops/srb.py`) fed every solver Ad/Bd
+# contaminated at ~1e-3, measured as a 6e-5 cold-solve optimality gap vs
+# the f64 oracle on the TPU lane where the CPU lane (full-f32 matmuls)
+# sits at 5e-9 (tests/test_riccati.py::test_cold_quality_*).  The MXU-hot
+# paths (condensing, the Pallas kernels) pin their precision explicitly,
+# so this default only affects the small/cheap matmuls — full f32 there is
+# the semantics the CPU test lane already validates.  Users embedding this
+# package alongside bf16 model code can override per-scope with
+# ``jax.default_matmul_precision``.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from pympc_quadruped_tpu.models.robots import RobotParams, aliengo, a1
 from pympc_quadruped_tpu.models.gaits import GaitParams, Gaits
 from pympc_quadruped_tpu.models.mpc import MpcParams, default_mpc_params

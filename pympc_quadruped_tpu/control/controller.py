@@ -36,10 +36,18 @@ from pympc_quadruped_tpu.control import legctrl, refmpc, swing
 from pympc_quadruped_tpu.ops import gaitsched, kin, srb
 from pympc_quadruped_tpu.ops.qp import admm, admm_fast, cones, ipm, riccati
 
-# Solver used by every closed-loop surface unless overridden: the fast ADMM
-# (Ruiz-scaled, matmul-only Schur inverse, Pallas iteration on TPU) — the
-# same path the offline engine benches.  "ipm" is the float-float parity
-# path; plain "admm" is the slow on-device oracle.
+# Solver used by every closed-loop surface unless overridden: the fast
+# condensed ADMM (Ruiz-scaled, matmul-only Schur inverse, Pallas kernels
+# on TPU).  The sparse O(h) "riccati" path is 4x faster in-loop at h=10
+# (12x at h=16) and is the bench's closed-loop real-time operating point
+# (solver="riccati" on Aliengo, gated at h10+h16) — but it has NO Ruiz
+# equilibration, and its warm-started rho is robot-scale sensitive where
+# the condensed path is not (r5 measurement, A1 full-order nominal trot
+# vel_err: admm_fast 0.052; riccati 1.58 @ rho 4e-4, 0.122 @ 1e-3, 0.043
+# @ 2e-3 — a knife edge the equilibrated path simply does not have).  The
+# cross-robot default therefore stays the equilibrated solver; opt into
+# "riccati" per call for throughput.  "ipm" is the float-float parity
+# path; plain "admm" the slow on-device oracle.
 DEFAULT_SOLVER = "admm_fast"
 
 
@@ -95,13 +103,30 @@ def _solve_branch(robot, mpc, cmd, mpc_carry, ks, x_t, vel_des_world, table, sol
     overwrites it (ref ``linear_mpc/mpc.py:99,108``).
     """
     solver, ipm_cfg, admm_cfg, af_cfg, ric_cfg = solver_cfg
+    # Ground-adaptive mode: estimate the local support-plane height from
+    # STANCE-foot world z (leg odometry — the measurement a real robot has;
+    # no terrain oracle).  Flight steps (no stance leg this segment) fall
+    # back to the all-feet mean.  Static branch: off by default, the
+    # flat-world reference semantics are untouched bitwise.
+    ground_z = None
+    if mpc.ground_adaptive_height:
+        stance_now = table.reshape(-1, mpc.horizon, 4)[:, 0, :]     # (B,4)
+        feet_z = ks.pos_feet[:, :, 2]                               # (B,4)
+        n_st = stance_now.sum(axis=-1)
+        ground_z = jnp.where(
+            n_st > 0,
+            (stance_now * feet_z).sum(axis=-1) / jnp.maximum(n_st, 1.0),
+            feet_z.mean(axis=-1),
+        )
     # The stance table makes the reference flight-aware (ballistic z/vz
     # rows for jumping gaits; BITWISE no-op for any gait without a
     # full-flight step — see refmpc._flight_rows).
     mpc_carry, X = jax.vmap(
-        lambda c, x, v, cm, r, t: refmpc.reference_trajectory(
-            c, x, v, cm, mpc, r, t)
-    )(mpc_carry, x_t, vel_des_world, cmd, robot, table)
+        lambda c, x, v, cm, r, t, gz: refmpc.reference_trajectory(
+            c, x, v, cm, mpc, r, t, ground_z=gz)
+    )(mpc_carry, x_t, vel_des_world, cmd, robot, table,
+      ground_z if ground_z is not None
+      else jnp.zeros(x_t.shape[0], x_t.dtype))
 
     yaw = x_t[:, 2]
     if solver == "riccati":
@@ -272,7 +297,7 @@ def step(
     carry: ControllerCarry,
     obs: kin.RobotObs,
     tick: jnp.ndarray,
-    solver: Literal["admm_fast", "admm", "ipm", "ipm_parity"] = DEFAULT_SOLVER,
+    solver: Literal["admm_fast", "admm", "ipm", "ipm_parity", "riccati"] = DEFAULT_SOLVER,
 ):
     """Single-scenario tick (batch size 1 under the hood)."""
     batched = jax.tree.map(lambda x: jnp.asarray(x)[None], (robot, gait, cmd, carry, obs))

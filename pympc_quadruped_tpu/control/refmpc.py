@@ -93,8 +93,15 @@ def reference_trajectory(
     mpc: MpcParams,
     robot: RobotParams,
     gait_table: jnp.ndarray | None = None,
+    ground_z: jnp.ndarray | None = None,
 ):
     """Solve-tick X_ref build; also returns the updated carry (ref :110-170).
+
+    With ``mpc.ground_adaptive_height`` and a ``ground_z`` estimate (scalar,
+    world z of the local support plane — stance-foot leg odometry in the
+    controller), the height row references ``ground_z + base_height_des``
+    instead of the reference's absolute ``base_height_des`` (flat-world
+    assumption, ref ``mpc.py:160``); flight arcs ride on the same base.
 
     With ``gait_table`` (the (4h,) stance table of the SAME horizon the QP
     uses) the height/vertical-velocity rows become FLIGHT-AWARE: horizon
@@ -135,6 +142,10 @@ def reference_trajectory(
     roll_comp = vy * roll_int
     pitch_comp = vx * pitch_int
 
+    z_des = robot.base_height_des
+    if mpc.ground_adaptive_height and ground_z is not None:
+        z_des = ground_z + robot.base_height_des
+
     steps = jnp.arange(h, dtype=jnp.float32)
     X = jnp.zeros((h, NUM_STATE), jnp.float32)
     X = X.at[:, 0].set(roll_comp)
@@ -142,16 +153,14 @@ def reference_trajectory(
     X = X.at[:, 2].set(carry.yaw_des + dt * cmd.yaw_turn_rate * steps)
     X = X.at[:, 3].set(xpos + dt * vel_des_world[0] * steps)
     X = X.at[:, 4].set(ypos + dt * vel_des_world[1] * steps)
-    X = X.at[:, 5].set(robot.base_height_des)
+    X = X.at[:, 5].set(z_des)
     X = X.at[:, 8].set(cmd.yaw_turn_rate)
     X = X.at[:, 9].set(vel_des_world[0])
     X = X.at[:, 10].set(vel_des_world[1])
     X = X.at[:, 12].set(-mpc.gravity)
 
     if gait_table is not None:
-        z_ref, vz_ref = _flight_rows(
-            gait_table, robot.base_height_des, mpc
-        )
+        z_ref, vz_ref = _flight_rows(gait_table, z_des, mpc)
         X = X.at[:, 5].set(z_ref)
         X = X.at[:, 11].set(vz_ref)
 

@@ -111,12 +111,23 @@ def update_swing(
         ]
     )
     foothold = foothold + centripetal[None, :]
-    foothold = foothold.at[:, 2].set(robot.touchdown_z)
 
-    footpos_final = jnp.where(active[:, None], foothold, carry.footpos_final)
     footpos_init = jnp.where(
         (active & carry.is_first_swing)[:, None], kin.pos_feet, carry.footpos_init
     )
+    if mpc.ground_adaptive_height:
+        # Per-leg local ground sample = that leg's own lift-off foot height
+        # (leg odometry; latched above).  Touchdown keeps the reference's
+        # -0.0255 m press-in offset but measured from the local ground, not
+        # from world zero (ref swing_foot_trajectory_generator.py:120 is
+        # absolute — on a 2 m staircase it commands the foot 2 m down).
+        foothold = foothold.at[:, 2].set(
+            footpos_init[:, 2] + robot.touchdown_z
+        )
+    else:
+        foothold = foothold.at[:, 2].set(robot.touchdown_z)
+
+    footpos_final = jnp.where(active[:, None], foothold, carry.footpos_final)
     # First-call latch clears; completing a swing (state >= 1) re-arms it.
     is_first = jnp.where(active, False, carry.is_first_swing)
     is_first = jnp.where(active & (swing_states >= 1.0), True, is_first)
@@ -125,7 +136,16 @@ def update_swing(
     cur_t = t_swing - remaining
     half = t_swing * 0.5
     mid = 0.5 * (footpos_init + footpos_final)
-    mid = mid.at[:, 2].set(robot.swing_height)
+    if mpc.ground_adaptive_height:
+        # Apex clearance above the HIGHER of lift-off/touchdown ground
+        # samples (the absolute form drags swing feet to world z = 0.1 on
+        # elevated terrain).
+        mid = mid.at[:, 2].set(
+            jnp.maximum(footpos_init[:, 2], footpos_final[:, 2])
+            + robot.swing_height
+        )
+    else:
+        mid = mid.at[:, 2].set(robot.swing_height)
     p_a, v_a = _hermite_eval(footpos_init, mid, half, cur_t)
     p_b, v_b = _hermite_eval(mid, footpos_final, half, cur_t - half)
     in_first = (cur_t < half)[:, None]

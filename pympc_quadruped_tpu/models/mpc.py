@@ -26,6 +26,18 @@ class MpcParams:
     # --- static (shape-determining) ---
     horizon: int = struct.field(pytree_node=False, default=16)
     iterations_between_mpc: int = struct.field(pytree_node=False, default=20)
+    # Terrain-adaptive height mode (static: selects a different reference /
+    # swing program).  Off (default) reproduces the reference exactly: the
+    # height row of X_ref, the swing apex and the touchdown target are
+    # ABSOLUTE world heights (ref ``linear_mpc/mpc.py:160``,
+    # ``swing_foot_trajectory_generator.py:120`` — a flat-world assumption
+    # that walks off a 2 m staircase).  On, the controller estimates the
+    # local ground plane from stance-foot leg odometry every solve tick
+    # (no terrain oracle: the measurement a real robot has) and references
+    # height/swing targets to it — the capability the reference's dead
+    # PCA terrain-normal code intended (ref ``utils/robot_data.py:194-228``,
+    # never called).  See control/refmpc.py + control/swing.py.
+    ground_adaptive_height: bool = struct.field(pytree_node=False, default=False)
     # --- traced ---
     dt_control: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.001))
     dt_predict: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.05))

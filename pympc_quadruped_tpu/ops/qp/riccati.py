@@ -79,8 +79,16 @@ class RiccatiConfig(NamedTuple):
     @classmethod
     def inloop(cls) -> "RiccatiConfig":
         """Warm-started receding-horizon preset (see AdmmFastConfig.inloop
-        for the methodology; grid re-run for the sparse path)."""
-        return cls(iterations=40, rho=4.0e-4)
+        for the methodology; grid re-run for the sparse path).
+
+        rho is 1e-3 (not the Aliengo-trot optimum 4e-4): the sparse path
+        has no Ruiz equilibration, so rho must hold across the ROBOT
+        range, and A1's scale (mass 4.7 vs 9.0, x10-inertia quirk) breaks
+        4e-4 in the full-order torque loop (r5 grid: A1 trot passes 1/4 at
+        4e-4, 2/4 at 56 it, 4/4 at rho 1e-3; jumping16+ramp 7/8 at 4e-4,
+        8/8 at >= 7e-4; all Aliengo gates indifferent across 4e-4..2e-3).
+        """
+        return cls(iterations=40, rho=1.0e-3)
 
 
 class RiccatiFactors(NamedTuple):
@@ -174,7 +182,11 @@ def lqr_factor(
         hu_k, m_k = inputs                                    # (B,12),(B,12)
         Bk = Bd * m_k[:, None, :]                             # (B,13,12)
         PB = mm(P, Bk)                                        # (B,13,12)
-        M = jnp.swapaxes(Bk, -1, -2) @ PB
+        # NB: must go through mm() — a bare `@` is DEFAULT precision, which
+        # on TPU runs bf16 passes and sinks the whole factorization below
+        # the 1e-5 oracle gap gate (caught by the TPU-lane
+        # test_lqr_factor_is_exact_unconstrained / test_cold_quality_*).
+        M = mm(jnp.swapaxes(Bk, -1, -2), PB)
         M = 0.5 * (M + jnp.swapaxes(M, -1, -2))
         M = M + jax.vmap(jnp.diag)(hu_k)
         Minv = _gauss_jordan_inv(M)

@@ -332,11 +332,15 @@ def _solve(Ac, Ar, Bc, Br, hu, mask, q2, mu, qx, xt, gate, lo, hi,
 
 
 def _pick_tile(B: int, want: int) -> int:
-    """Largest lane tile (multiple of 128) dividing the padded batch."""
-    t = max(128, (want // 128) * 128)
-    while B % t:
-        t -= 128
-    return max(t, 128)
+    """Lane tile: ``want`` rounded down to a multiple of 128 (floor 128).
+
+    No divisibility requirement against ``B`` — the caller pads the batch
+    UP to a tile multiple, so any 128-multiple works.  (The previous
+    largest-divisor loop hit ``B % 0`` for batches that were not tile
+    multiples, e.g. B = 130 — the exact case the padding path exists for;
+    caught by the TPU-lane ``test_kernel_tpu_matches_jnp[16-130]``.)"""
+    del B
+    return max(128, (want // 128) * 128)
 
 
 def factor_iterate(Ad, Bd, x_t, X_ref, hu, m_u, gate, l, u_bnd, mpc, cfg,

@@ -39,6 +39,12 @@ def _setup(B=2, horizon=10):
 
 
 def test_default_solver_is_admm_fast():
+    """The cross-robot closed-loop default is the RUIZ-EQUILIBRATED
+    condensed path.  The sparse riccati path is faster (4x in-loop at h10,
+    12x at h16) and fully gated on Aliengo at both horizons, but its
+    warm-started rho is robot-scale sensitive without equilibration (r5
+    measurement in controller.py's DEFAULT_SOLVER comment), so it stays
+    opt-in per call."""
     assert ctrl.DEFAULT_SOLVER == "admm_fast"
 
 

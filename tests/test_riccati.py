@@ -53,7 +53,18 @@ def _instance(tick, horizon=10, gait="trotting10", vx=1.2, vel_err=0.2):
 
 
 def _solve(mpc, robot, x_t, yaw, r_feet, X_ref, table,
-           cfg=riccati.RiccatiConfig(), warm=None, return_duals=False):
+           cfg=riccati.RiccatiConfig(), warm=None, return_duals=False,
+           backend="auto"):
+    """Solve via each lane's SHIPPING backend: jnp on the CPU lane, the
+    batch-minor Pallas kernel on the TPU lane (``backend="auto"``).
+
+    Measured note (r5, TPU lane): the jnp path ON TPU is markedly weaker
+    than the kernel on ill-conditioned flight tables — jumping16/h16 cold
+    gaps 3.8e-4..6.5e-2 vs the kernel's <= 2.8e-5 (the kernel's unrolled
+    FMA chains beat HIGHEST-precision einsum reductions there; trot tables
+    agree to ~1e-9).  The jnp path on TPU is a debugging aid, not a
+    shipping configuration — gate what ships.
+    """
     Ac, Bc = srb.state_space(
         robot, jnp.float32(yaw), jnp.asarray(r_feet, jnp.float32)
     )
@@ -62,7 +73,7 @@ def _solve(mpc, robot, x_t, yaw, r_feet, X_ref, table,
         Ad[None], Bd[None], jnp.asarray(x_t, jnp.float32)[None],
         jnp.asarray(X_ref, jnp.float32)[None],
         jnp.asarray(table, jnp.float32)[None].reshape(1, -1),
-        robot.fz_max, mpc, cfg, backend="jnp", warm=warm,
+        robot.fz_max, mpc, cfg, backend=backend, warm=warm,
         return_duals=return_duals,
     )
 
