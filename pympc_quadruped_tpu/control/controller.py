@@ -40,14 +40,17 @@ from pympc_quadruped_tpu.ops.qp import admm, admm_fast, cones, ipm, riccati
 # condensed ADMM (Ruiz-scaled, matmul-only Schur inverse, Pallas kernels
 # on TPU).  The sparse O(h) "riccati" path is 4x faster in-loop at h=10
 # (12x at h=16) and is the bench's closed-loop real-time operating point
-# (solver="riccati" on Aliengo, gated at h10+h16) — but it has NO Ruiz
-# equilibration, and its warm-started rho is robot-scale sensitive where
-# the condensed path is not (r5 measurement, A1 full-order nominal trot
-# vel_err: admm_fast 0.052; riccati 1.58 @ rho 4e-4, 0.122 @ 1e-3, 0.043
-# @ 2e-3 — a knife edge the equilibrated path simply does not have).  The
-# cross-robot default therefore stays the equilibrated solver; opt into
-# "riccati" per call for throughput.  "ipm" is the float-float parity
-# path; plain "admm" the slow on-device oracle.
+# (solver="riccati", gated at h10+h16).  Its one structural difference —
+# no Ruiz equilibration, so a fixed warm-started rho was robot-scale
+# sensitive (r5 measurement, A1 full-order nominal trot vel_err:
+# admm_fast 0.052; riccati 1.58 @ rho 4e-4, 0.122 @ 1e-3, 0.043 @ 2e-3)
+# — is closed by RiccatiConfig.inloop's per-scenario rho normalization
+# (rho_eff = rho * (m_ref/m)^2 read off the traced Bd,
+# riccati.rho_scale_from_Bd; A1 gate: test_a1_fullorder_trot_riccati_
+# normalized).  The default stays the equilibrated solver for its longer
+# cross-robot/gait soak history; "riccati" is a gated, supported opt-in
+# for throughput.  "ipm" is the float-float parity path; plain "admm"
+# the slow on-device oracle.
 DEFAULT_SOLVER = "admm_fast"
 
 

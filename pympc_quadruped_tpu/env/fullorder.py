@@ -401,8 +401,13 @@ def rollout(
     cmd_ramp_ticks: int | None = None,
     substeps: int = 1,
     tick0: int = 0,
+    solver_cfg=None,
 ):
     """Batched closed-loop torque-driven rollout under ``lax.scan``.
+
+    ``solver_cfg``: optional dict of solver-config kwargs forwarded to
+    :func:`controller.step_batch` (e.g. ``{"riccati_cfg": ...}``), same
+    contract as :func:`srb_env.rollout`.
 
     Mirrors :func:`srb_env.rollout`'s interface: every robot/gait/cmd leaf
     carries a leading scenario axis.  ``model_b`` defaults to the Aliengo-
@@ -549,7 +554,8 @@ def rollout(
             cmd_b if cmd_ramp_ticks is None else cmd_b.ramped(k, cmd_ramp_ticks)
         )
         c_carry, out = ctrl.step_batch(
-            robot_b, mpc, gait_b, cmd_eff, c_carry, obs, k, solver=solver
+            robot_b, mpc, gait_b, cmd_eff, c_carry, obs, k, solver=solver,
+            **(solver_cfg or {}),
         )
         if terrain is not None:
             env_state, f_feet = jax.vmap(

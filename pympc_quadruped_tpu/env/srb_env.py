@@ -287,8 +287,13 @@ def rollout(
     return_full_carry: bool = False,
     cmd_ramp_ticks: int | None = None,
     contact_source: str = "plan",
+    solver_cfg=None,
 ):
     """Closed-loop batched rollout under ``lax.scan``.
+
+    ``solver_cfg``: optional dict of solver-config kwargs forwarded to
+    :func:`controller.step_batch` (e.g. ``{"riccati_cfg": ...}``) to
+    override a solver's in-loop preset for a whole rollout.
 
     Every pytree argument except ``mpc`` carries a leading scenario batch
     axis (``robot``, ``gait``, ``cmd``, and optional ``terrain`` are
@@ -378,7 +383,8 @@ def rollout(
             cmd if cmd_ramp_ticks is None else cmd.ramped(tick, cmd_ramp_ticks)
         )
         c_carry, out = ctrl.step_batch(
-            robot, mpc, gait, cmd_eff, c_carry, obs, tick, solver=solver
+            robot, mpc, gait, cmd_eff, c_carry, obs, tick, solver=solver,
+            **(solver_cfg or {}),
         )
         # World-frame swing-foot desired positions from the base-frame targets.
         swing_pos_world = env_state.pos[:, None, :] + jnp.einsum(

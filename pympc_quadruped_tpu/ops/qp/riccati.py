@@ -75,20 +75,58 @@ class RiccatiConfig(NamedTuple):
     alpha: float = 1.8
     pin: float = 1.0           # quadratic pin on removed swing variables
     tile: int = 128            # scenarios per Pallas grid step
+    normalize: bool = False    # per-scenario rho ∝ (m_ref/m)^2 (see below)
 
     @classmethod
     def inloop(cls) -> "RiccatiConfig":
         """Warm-started receding-horizon preset (see AdmmFastConfig.inloop
         for the methodology; grid re-run for the sparse path).
 
-        rho is 1e-3 (not the Aliengo-trot optimum 4e-4): the sparse path
-        has no Ruiz equilibration, so rho must hold across the ROBOT
-        range, and A1's scale (mass 4.7 vs 9.0, x10-inertia quirk) breaks
-        4e-4 in the full-order torque loop (r5 grid: A1 trot passes 1/4 at
-        4e-4, 2/4 at 56 it, 4/4 at rho 1e-3; jumping16+ramp 7/8 at 4e-4,
-        8/8 at >= 7e-4; all Aliengo gates indifferent across 4e-4..2e-3).
+        The sparse path has no Ruiz equilibration, so a FIXED rho must
+        hold across the ROBOT range, and it does not: A1's scale (mass
+        4.7 vs 9.0, x10-inertia quirk) breaks the Aliengo-trot optimum
+        4e-4 in the full-order torque loop (r5 grid: A1 trot passes 1/4
+        at 4e-4, 2/4 at 56 it, 4/4 at rho 1e-3; jumping16+ramp 7/8 at
+        4e-4, 8/8 at >= 7e-4; all Aliengo gates indifferent across
+        4e-4..2e-3).  The fix is ``normalize=True``: per-scenario
+        ``rho_eff = rho * (m_ref/m)^2`` read off the raw input map
+        (:func:`rho_scale_from_Bd`), which keeps Aliengo at its 4e-4
+        optimum bit-for-bit-scale and lands A1 at 1.47e-3 — inside its
+        measured passing band — with no per-robot tuning.  (The interim
+        r5 compromise, a fixed rho 1e-3, is strictly dominated: it sat
+        2.5x off Aliengo's optimum to stay inside A1's band.)
         """
-        return cls(iterations=40, rho=1.0e-3)
+        return cls(iterations=40, rho=4.0e-4, normalize=True)
+
+
+#: Trunk mass [kg] of the robot every rho grid in this module was run on
+#: (Aliengo, ref ``config/robot_configs.py:22``).  ``rho_scale_from_Bd``
+#: returns exactly 1.0 for a robot of this mass, so normalization is a
+#: no-op-by-scale for the tuning robot.
+MASS_NORM_REF = 9.042
+
+
+def rho_scale_from_Bd(Bd: jnp.ndarray, mpc: MpcParams) -> jnp.ndarray:
+    """Per-scenario ADMM step-size normalization ``(m_ref / m)^2``, (B,).
+
+    The force-block of the reduced Hessian scales as ``||Su||^2 ~ (dt/m)^2``
+    (the linear-velocity rows of Bd are EXACTLY ``dt/m * I3`` per stance
+    leg: v-dot couples to no other state under the SRB nilpotent ZOH, see
+    ``ops/srb.py:discretize``), so the well-tuned rho for a robot of mass
+    ``m`` is the reference tuning scaled by ``(m_ref/m)^2``.  Reading the
+    scale off the RAW traced ``Bd`` (rows 9:12, sum of 12 squared entries
+    = ``12 (dt/m)^2``, geometry-independent) instead of a robot-params
+    lookup means per-scenario mass domain randomization
+    (``parallel/sweep.py:randomized_robots``) is normalized for free.
+
+    Measured (r5, full-order torque-loop trot): A1 at the Aliengo optimum
+    rho 4e-4 diverges (vel_err 1.58); with this scale (-> 1.47e-3, inside
+    A1's measured 1e-3..2e-3 band) it tracks — while Aliengo keeps its
+    own optimum instead of the old fixed-1e-3 compromise.
+    """
+    s = jnp.sum(jnp.square(Bd[:, 9:12, :]), axis=(1, 2)) / 12.0  # (dt/m)^2
+    ref = (jnp.float32(mpc.dt_predict) / MASS_NORM_REF) ** 2
+    return s / ref
 
 
 class RiccatiFactors(NamedTuple):
@@ -141,17 +179,22 @@ def step_bounds(gait_table: jnp.ndarray, fz_max, horizon: int):
     return jnp.zeros_like(u), u
 
 
-def input_cost_diag(m_u: jnp.ndarray, mpc: MpcParams, cfg: RiccatiConfig):
+def input_cost_diag(m_u: jnp.ndarray, mpc: MpcParams, cfg: RiccatiConfig,
+                    rho_b: jnp.ndarray | None = None):
     """(B,h,12) diagonal of Hu_k = 2R + sigma + rho C^T C (stance) or the
-    pin (swing).  C^T C per leg = diag(2, 2, 4 mu^2 + 1)."""
+    pin (swing).  C^T C per leg = diag(2, 2, 4 mu^2 + 1).
+
+    ``rho_b``: optional (B,) per-scenario step size (``cfg.normalize``
+    path); default is the scalar ``cfg.rho``."""
     mu = mpc.friction_coef
     ctc_leg = jnp.stack(
         [jnp.float32(2.0), jnp.float32(2.0), 4.0 * mu * mu + 1.0]
     )
     base = 2.0 * mpc.r_diag + cfg.sigma
     ctc = jnp.tile(ctc_leg, 4)
+    rho = cfg.rho if rho_b is None else rho_b[:, None, None]
     return jnp.where(
-        m_u > 0.0, base + cfg.rho * ctc, base + cfg.pin
+        m_u > 0.0, base + rho * ctc, base + cfg.pin
     )
 
 
@@ -237,11 +280,17 @@ def iterate(
     mpc: MpcParams,
     cfg: RiccatiConfig,
     init=None,
+    rho_b: jnp.ndarray | None = None,
 ):
-    """Over-relaxed ADMM sweeps.  Returns (U (B,h,12), y (B,h,20))."""
+    """Over-relaxed ADMM sweeps.  Returns (U (B,h,12), y (B,h,20)).
+
+    ``rho_b``: optional (B,) per-scenario step size; broadcast against the
+    (B,h,20) splitting arrays.  Must match the rho folded into ``hu`` by
+    :func:`input_cost_diag`."""
     B, h = X_ref.shape[0], X_ref.shape[1]
     pat = _pyramid_rows(mpc.friction_coef)
-    rho, sigma, alpha = cfg.rho, cfg.sigma, cfg.alpha
+    sigma, alpha = cfg.sigma, cfg.alpha
+    rho = cfg.rho if rho_b is None else rho_b[:, None, None]
     q_x = -2.0 * mpc.q_diag * X_ref                           # (B,h,13)
 
     K_t = jnp.swapaxes(factors.K, -1, -2)                     # (B,h,13,12)
@@ -333,7 +382,10 @@ def solve_batch(
     X_ref = X_ref.reshape(B, h, NUM_STATE)
     m_u, gate = step_gating(gait_table, h)
     l, u_bnd = step_bounds(gait_table, fz_max, h)
-    hu = input_cost_diag(m_u, mpc, cfg)
+    rho_b = None
+    if cfg.normalize:
+        rho_b = cfg.rho * rho_scale_from_Bd(Bd, mpc)          # (B,)
+    hu = input_cost_diag(m_u, mpc, cfg, rho_b=rho_b)
 
     init = None
     if warm is not None:
@@ -350,12 +402,14 @@ def solve_batch(
         from pympc_quadruped_tpu.ops.qp import riccati_pallas
 
         U, y = riccati_pallas.factor_iterate(
-            Ad, Bd, x_t, X_ref, hu, m_u, gate, l, u_bnd, mpc, cfg, init
+            Ad, Bd, x_t, X_ref, hu, m_u, gate, l, u_bnd, mpc, cfg, init,
+            rho_b=rho_b,
         )
     else:
         factors = lqr_factor(Ad, Bd, hu, m_u, mpc)
         U, y = iterate(
-            factors, Ad, x_t, X_ref, gate, l, u_bnd, mpc, cfg, init
+            factors, Ad, x_t, X_ref, gate, l, u_bnd, mpc, cfg, init,
+            rho_b=rho_b,
         )
     U = (U * m_u).reshape(B, h * NUM_INPUT)
     if return_duals:

@@ -115,8 +115,8 @@ def _gj_inverse(Mcols, n):
 
 def _solve_kernel(
     Ac_ref, Ar_ref, Bc_ref, Br_ref, hu_ref, mask_ref, q2_ref, mu_ref,
-    qx_ref, xt_ref, gate_ref, lo_ref, hi_ref, u0_ref, z0_ref, y0_ref,
-    U_ref, Y_ref, *, h: int, iterations: int, rho: float, sigma: float,
+    rho_ref, qx_ref, xt_ref, gate_ref, lo_ref, hi_ref, u0_ref, z0_ref,
+    y0_ref, U_ref, Y_ref, *, h: int, iterations: int, sigma: float,
     alpha: float,
 ):
     Ac, Ar = Ac_ref[:], Ar_ref[:]                    # (169,B) both forms
@@ -125,6 +125,10 @@ def _solve_kernel(
     mask = mask_ref[:]                               # (h*12,B)
     q2 = q2_ref[:]                                   # (13,B) = 2*q_diag
     mu = mu_ref[:]                                   # (1,B)
+    # Per-scenario ADMM step size on the lane dim (rho normalization,
+    # riccati.rho_scale_from_Bd) — broadcasts against every (rows,B) tile.
+    rho = rho_ref[:]                                 # (1,B)
+    rhoinv = 1.0 / rho
     qx = qx_ref[:]                                   # (h*13,B) = -2Q r_k
     xt = xt_ref[:]                                   # (13,B)
     gate = gate_ref[:]                               # (h*20,B)
@@ -287,7 +291,7 @@ def _solve_kernel(
         zt = cone_fwd(u_tilde)
         u_new = alpha * u_tilde + (1.0 - alpha) * u_prev
         zbar = alpha * zt + (1.0 - alpha) * z
-        z_new = jnp.clip(zbar + y * (1.0 / rho), lo, hi)
+        z_new = jnp.clip(zbar + y * rhoinv, lo, hi)
         y_new = y + rho * (zbar - z_new)
         return u_new, z_new, y_new
 
@@ -301,14 +305,14 @@ def _solve_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "iterations", "rho", "sigma", "alpha", "tile"),
+    static_argnames=("h", "iterations", "sigma", "alpha", "tile"),
 )
-def _solve(Ac, Ar, Bc, Br, hu, mask, q2, mu, qx, xt, gate, lo, hi,
-           u0, z0, y0, h, iterations, rho, sigma, alpha, tile):
+def _solve(Ac, Ar, Bc, Br, hu, mask, q2, mu, rho, qx, xt, gate, lo, hi,
+           u0, z0, y0, h, iterations, sigma, alpha, tile):
     B = xt.shape[-1]
     assert B % tile == 0, (B, tile)
     kern = functools.partial(
-        _solve_kernel, h=h, iterations=iterations, rho=float(rho),
+        _solve_kernel, h=h, iterations=iterations,
         sigma=float(sigma), alpha=float(alpha),
     )
     spec = lambda rows: pl.BlockSpec(
@@ -319,7 +323,7 @@ def _solve(Ac, Ar, Bc, Br, hu, mask, q2, mu, qx, xt, gate, lo, hi,
         grid=(B // tile,),
         in_specs=[
             spec(NS * NS), spec(NS * NS), spec(NS * NU), spec(NS * NU),
-            spec(h * NU), spec(h * NU), spec(NS), spec(1),
+            spec(h * NU), spec(h * NU), spec(NS), spec(1), spec(1),
             spec(h * NS), spec(NS), spec(h * RPS), spec(h * RPS),
             spec(h * RPS), spec(h * NU), spec(h * RPS), spec(h * RPS),
         ],
@@ -328,7 +332,8 @@ def _solve(Ac, Ar, Bc, Br, hu, mask, q2, mu, qx, xt, gate, lo, hi,
             jax.ShapeDtypeStruct((h * NU, B), jnp.float32),
             jax.ShapeDtypeStruct((h * RPS, B), jnp.float32),
         ),
-    )(Ac, Ar, Bc, Br, hu, mask, q2, mu, qx, xt, gate, lo, hi, u0, z0, y0)
+    )(Ac, Ar, Bc, Br, hu, mask, q2, mu, rho, qx, xt, gate, lo, hi,
+      u0, z0, y0)
 
 
 def _pick_tile(B: int, want: int) -> int:
@@ -344,13 +349,15 @@ def _pick_tile(B: int, want: int) -> int:
 
 
 def factor_iterate(Ad, Bd, x_t, X_ref, hu, m_u, gate, l, u_bnd, mpc, cfg,
-                   init=None):
+                   init=None, rho_b=None):
     """Batch-minor kernel entry mirroring riccati's jnp path signature.
 
     Batch-major (B, ...) operands in; (B,h,12) U and (B,h,20) y out.  The
     batch is padded up to a lane-tile multiple with IDENTITY problems
     (hu = 1, everything else 0 -> M = I, all sweeps finite) and unpadded
-    on return.
+    on return.  ``rho_b``: optional (B,) per-scenario step size (padded
+    with 1.0 — any finite positive value keeps the identity pad problems
+    finite); default broadcasts ``cfg.rho``.
     """
     B = x_t.shape[0]
     h = mpc.horizon
@@ -373,6 +380,13 @@ def factor_iterate(Ad, Bd, x_t, X_ref, hu, m_u, gate, l, u_bnd, mpc, cfg,
     mu_row = jnp.broadcast_to(
         jnp.reshape(mpc.friction_coef, (1, 1)), (1, Bp)
     ).astype(jnp.float32)
+    if rho_b is None:
+        rho_row = jnp.full((1, Bp), jnp.float32(cfg.rho))
+    else:
+        rho_row = jnp.pad(
+            jnp.asarray(rho_b, jnp.float32)[None, :], ((0, 0), (0, Bp - B)),
+            constant_values=1.0,
+        )
     qx = bm(-2.0 * mpc.q_diag * X_ref, h * NS)
     xt_m = bm(x_t, NS)
     gate_m = bm(gate, h * RPS)
@@ -389,10 +403,9 @@ def factor_iterate(Ad, Bd, x_t, X_ref, hu, m_u, gate, l, u_bnd, mpc, cfg,
         y0 = bm(init[2], h * RPS)
 
     U, Y = _solve(
-        Ac, Ar, Bc, Br, hu_m, mask_m, q2, mu_row, qx, xt_m, gate_m,
-        lo_m, hi_m, u0, z0, y0, h=h, iterations=int(cfg.iterations),
-        rho=float(cfg.rho), sigma=float(cfg.sigma), alpha=float(cfg.alpha),
-        tile=tile,
+        Ac, Ar, Bc, Br, hu_m, mask_m, q2, mu_row, rho_row, qx, xt_m,
+        gate_m, lo_m, hi_m, u0, z0, y0, h=h, iterations=int(cfg.iterations),
+        sigma=float(cfg.sigma), alpha=float(cfg.alpha), tile=tile,
     )
     U = U.T[:B].reshape(B, h, NU)
     Y = Y.T[:B].reshape(B, h, RPS)

@@ -230,3 +230,119 @@ def test_engine_riccati_solver():
     fz = np.asarray(U[0]).reshape(4, 3)[:, 2]
     fz_star = U_star.reshape(-1, 4, 3)[0, :, 2]
     assert np.max(np.abs(fz - fz_star)) < 1.5
+
+
+def test_rho_scale_from_Bd_tracks_mass():
+    """The normalization factor is exactly (m_ref/m)^2, geometry-free:
+    the v-rows of Bd are dt/m * I3 per leg under the SRB nilpotent ZOH
+    (ops/srb.py), so Aliengo (the tuning robot) reads exactly 1.0 and A1
+    reads (9.042/4.713)^2 regardless of stance geometry or yaw."""
+    from pympc_quadruped_tpu.models.robots import a1
+
+    mpc = MpcParams(horizon=10)
+    RNG = np.random.default_rng(3)
+    for robot, m in [(aliengo(), 9.042), (a1(), 4.713)]:
+        for _ in range(3):
+            feet = jnp.asarray(
+                np.array([[0.24, 0.13, -0.38], [0.24, -0.13, -0.38],
+                          [-0.24, 0.13, -0.38], [-0.24, -0.13, -0.38]])
+                + RNG.normal(scale=0.05, size=(4, 3)), jnp.float32)
+            yaw = jnp.float32(RNG.uniform(-1.0, 1.0))
+            Ad, Bd = srb.discretize(
+                *srb.state_space(robot, yaw, feet), mpc.dt_predict
+            )
+            s = float(riccati.rho_scale_from_Bd(Bd[None], mpc)[0])
+            np.testing.assert_allclose(s, (9.042 / m) ** 2, rtol=1e-5)
+    # Per-scenario mass randomization is picked up from the traced Bd.
+    rb = aliengo().replace(mass=jnp.float32(12.0))
+    Ad, Bd = srb.discretize(
+        *srb.state_space(rb, jnp.float32(0.0), feet), mpc.dt_predict
+    )
+    s = float(riccati.rho_scale_from_Bd(Bd[None], mpc)[0])
+    np.testing.assert_allclose(s, (9.042 / 12.0) ** 2, rtol=1e-5)
+
+
+def test_normalized_mixed_batch_matches_per_scenario_scalar():
+    """normalize=True on a mixed Aliengo+A1 batch must equal each scenario
+    solved ALONE with its own scaled scalar rho — the per-scenario rho
+    plumbing (hu diagonal, splitting updates) is exact, not approximate.
+    Also pins that the Aliengo scenario is unchanged by normalization
+    (scale exactly 1.0)."""
+    from pympc_quadruped_tpu.models.robots import a1
+
+    mpc = MpcParams(horizon=10)
+    feet = jnp.asarray(
+        [[0.24, 0.13, -0.38], [0.24, -0.13, -0.38],
+         [-0.24, 0.13, -0.38], [-0.24, -0.13, -0.38]], jnp.float32)
+    mats = [
+        srb.discretize(*srb.state_space(rb, jnp.float32(0.1), feet),
+                       mpc.dt_predict)
+        for rb in (aliengo(), a1())
+    ]
+    Ad = jnp.stack([m[0] for m in mats])
+    Bd = jnp.stack([m[1] for m in mats])
+    x_t = jnp.zeros((2, 13)).at[:, 5].set(0.38).at[:, 12].set(-9.81)
+    x_t = x_t.at[:, 9].set(0.4)
+    X_ref = jnp.tile(x_t[:, None, :], (1, 10, 1))
+    g = npref.OracleGait.trotting10()
+    table = jnp.asarray(
+        npref.gait_table(g, npref.OracleConfig(horizon=10), 40), jnp.float32
+    )[None].repeat(2, axis=0).reshape(2, -1)
+    fz = jnp.asarray([500.0, 500.0], jnp.float32)
+
+    base = riccati.RiccatiConfig(iterations=40, rho=4.0e-4)
+    U_mix = riccati.solve_batch(
+        Ad, Bd, x_t, X_ref, table, fz, mpc,
+        base._replace(normalize=True), backend="jnp",
+    )
+    scales = riccati.rho_scale_from_Bd(Bd, mpc)
+    for i in range(2):
+        U_i = riccati.solve_batch(
+            Ad[i : i + 1], Bd[i : i + 1], x_t[i : i + 1],
+            X_ref[i : i + 1], table[i : i + 1], fz[i : i + 1], mpc,
+            base._replace(rho=float(base.rho * scales[i])), backend="jnp",
+        )
+        np.testing.assert_allclose(
+            np.asarray(U_mix[i]), np.asarray(U_i[0]), atol=1e-3
+        )
+    np.testing.assert_allclose(float(scales[0]), 1.0, rtol=1e-6)
+
+
+def test_a1_fullorder_trot_riccati_normalized():
+    """THE behavioral gate normalization exists for: A1 torque-level trot
+    with the sparse solver in the loop.  At the fixed Aliengo-optimal rho
+    4e-4 this configuration diverges (r5 grid: vel_err 1.58); the
+    normalized inloop preset lands A1 at rho_eff 1.47e-3 — inside its
+    measured 1e-3..2e-3 band — with Aliengo simultaneously at its own
+    optimum (test_h16_fullorder_trot_riccati).  Mirrors
+    test_a1_fullorder_closed_loop_trot's band, solver swapped."""
+    import jax as _jax
+
+    from pympc_quadruped_tpu.env import fullorder, mjcf
+    from pympc_quadruped_tpu.models.command import Command
+    from pympc_quadruped_tpu.models.gaits import Gaits
+    from test_rbd import _jittered_init, _per_scenario, _pass_band
+
+    B = 4
+    mpc = MpcParams(horizon=10)
+    tile = lambda t: _jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), t
+    )
+    robot1, cp = fullorder.a1_env_config()
+    robot = tile(robot1)
+    gait = tile(Gaits.trotting10())
+    cmd = tile(Command.trot_forward(0.8))
+    (state, _), metrics = fullorder.rollout(
+        robot, mpc, gait, cmd, num_ticks=3000, cp=cp, spec=mjcf.a1_spec(),
+        cmd_ramp_ticks=800, state0=_jittered_init(robot, B, seed=21, cp=cp),
+        solver="riccati",
+    )
+    h = _per_scenario(metrics, "height", 500).mean(axis=0)
+    v = _per_scenario(metrics, "vel_err", 500).mean(axis=0)
+    up = _per_scenario(metrics, "upright", 500).min(axis=0)
+    ok = (
+        (h > 0.28) & (h < 0.40) & (v < 0.15) & (up > 0.9)
+        & ~np.asarray(metrics["diverged"]).any(axis=0)
+        & (np.asarray(state.pos[:, 0]) > 1.0)
+    )
+    _pass_band(ok, B - 1)

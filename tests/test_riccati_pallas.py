@@ -104,6 +104,36 @@ def test_kernel_interpret_warm_start_h3():
     np.testing.assert_allclose(np.asarray(U_pal), np.asarray(U_jnp), atol=2e-2)
 
 
+def test_kernel_interpret_per_scenario_rho_h4():
+    """Per-scenario rho (the normalization path) through the kernel: a
+    batch whose scenarios carry DIFFERENT step sizes must match the jnp
+    path given the same (B,) rho — exercises the (1,B) lane-vector rho
+    operand and its broadcast against every splitting tile."""
+    cfg = riccati.RiccatiConfig(iterations=6, rho=4.0e-4)
+    mpc, robot, Ad, Bd, x_t, X_ref, table = _problem(3, 4, seed=9)
+    rho_b = jnp.asarray([4.0e-4, 1.5e-3, 8.0e-4], jnp.float32)
+    m_u, gate = riccati.step_gating(table, mpc.horizon)
+    l, u_bnd = riccati.step_bounds(table, robot.fz_max, mpc.horizon)
+    hu = riccati.input_cost_diag(m_u, mpc, cfg, rho_b=rho_b)
+    fac = riccati.lqr_factor(Ad, Bd, hu, m_u, mpc)
+    U_jnp, y_jnp = riccati.iterate(
+        fac, Ad, x_t, X_ref, gate, l, u_bnd, mpc, cfg, rho_b=rho_b
+    )
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        U_pal, y_pal = riccati_pallas.factor_iterate(
+            Ad, Bd, x_t, X_ref, hu, m_u, gate, l, u_bnd, mpc, cfg,
+            rho_b=rho_b,
+        )
+    finally:
+        pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(U_pal), np.asarray(U_jnp),
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_jnp),
+                               atol=2e-2)
+
+
 @pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="Pallas TPU kernel needs a TPU"
 )
